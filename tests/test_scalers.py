@@ -1,0 +1,150 @@
+"""Scaler fit/transform goldens — mirror the reference's test strategy
+(/root/reference/src/torchestra/test_normalization.py): fit on seeded
+data, compare fitted params and transformed output against straight
+numpy computation with allclose; plus state round-trips."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from torchestra_spark import (
+    Clamp,
+    Feature,
+    MeanScale,
+    MinMaxScale,
+    NanToNum,
+    Pipeline,
+    RobustScale,
+    StandardScore,
+    TDigestDistribution,
+)
+
+RNG = np.random.RandomState(42)
+DATA = RNG.rand(300)  # F3 fixture: 300 f64 values
+
+
+@pytest.fixture(scope="module")
+def sdf(spark):
+    pdf = pd.DataFrame({"id": np.arange(len(DATA)), "x": DATA})
+    return spark.createDataFrame(pdf).repartition(4).cache()
+
+
+def _col(df, name):
+    return np.array([r[name] for r in df.select("id", name).orderBy("id").collect()])
+
+
+def test_standard_score_ddof1(sdf):
+    pipe = Pipeline({"z": Feature("x", [StandardScore()])})
+    out = pipe.fit_transform(sdf)
+    op = pipe.features["z"].ops[0]
+    assert np.isclose(op.mean, DATA.mean())
+    assert np.isclose(op.std, DATA.std(ddof=1))
+    expected = (DATA - DATA.mean()) / DATA.std(ddof=1)
+    assert np.allclose(_col(out, "z"), expected)
+
+
+def test_standard_score_ddof0(sdf):
+    pipe = Pipeline({"z": Feature("x", [StandardScore(ddof=0)])})
+    out = pipe.fit_transform(sdf)
+    expected = (DATA - DATA.mean()) / DATA.std(ddof=0)
+    assert np.allclose(_col(out, "z"), expected)
+
+
+def test_minmax_scale(sdf):
+    pipe = Pipeline({"y": Feature("x", [MinMaxScale()])})
+    out = pipe.fit_transform(sdf)
+    expected = (DATA - DATA.min()) / (DATA.max() - DATA.min())
+    assert np.allclose(_col(out, "y"), expected)
+
+
+def test_mean_scale(sdf):
+    pipe = Pipeline({"y": Feature("x", [MeanScale()])})
+    out = pipe.fit_transform(sdf)
+    expected = (DATA - DATA.mean()) / (DATA.max() - DATA.min())
+    assert np.allclose(_col(out, "y"), expected)
+
+
+def test_robust_scale(sdf):
+    # atol 1e-1 like test_normalization.py:689-709
+    pipe = Pipeline({"y": Feature("x", [RobustScale()])})
+    out = pipe.fit_transform(sdf)
+    med = np.quantile(DATA, 0.5)
+    iqr = np.quantile(DATA, 0.75) - np.quantile(DATA, 0.25)
+    expected = (DATA - med) / iqr
+    assert np.allclose(_col(out, "y"), expected, atol=1e-1)
+
+
+def test_tdigest_distribution(spark):
+    # 2000 values, cdf at the values ~ their rank, atol 1e-2
+    # (test_normalization.py:615-629 pattern)
+    rng = np.random.RandomState(7)
+    data = rng.rand(2000)
+    pdf = pd.DataFrame({"id": np.arange(2000), "x": data})
+    sdf = spark.createDataFrame(pdf).repartition(4)
+    pipe = Pipeline({"q": Feature("x", [TDigestDistribution()])})
+    out = pipe.fit_transform(sdf)
+    got = _col(out, "q")
+    ranks = pd.Series(data).rank(pct=True).to_numpy()
+    assert np.allclose(got, ranks, atol=1e-2)
+
+
+def test_nan_to_num_clamp(spark):
+    vals = [1.0, float("nan"), float("inf"), float("-inf"), -9.0, 9.0]
+    pdf = pd.DataFrame({"id": range(len(vals)), "x": vals})
+    sdf = spark.createDataFrame(pdf)
+    pipe = Pipeline({"y": Feature("x", [NanToNum(nan=0.0), Clamp(-2.0, 2.0)])})
+    out = pipe.fit_transform(sdf)
+    assert _col(out, "y").tolist() == [1.0, 0.0, 2.0, -2.0, -2.0, 2.0]
+
+
+def test_chained_scaler_pipeline(sdf):
+    pipe = Pipeline(
+        {"z": Feature("x", [StandardScore(), NanToNum(), Clamp(-1.0, 1.0)])}
+    )
+    out = pipe.fit_transform(sdf)
+    expected = np.clip((DATA - DATA.mean()) / DATA.std(ddof=1), -1.0, 1.0)
+    assert np.allclose(_col(out, "z"), expected)
+
+
+def test_state_roundtrip(sdf, tmp_path):
+    # test_normalization.py:386-408 pattern: fit -> save -> load into a
+    # fresh pipeline -> identical outputs
+    pipe = Pipeline(
+        {
+            "z": Feature("x", [StandardScore()]),
+            "m": Feature("x", [MinMaxScale()]),
+            "r": Feature("x", [RobustScale()]),
+            "q": Feature("x", [TDigestDistribution()]),
+        }
+    )
+    out1 = pipe.fit_transform(sdf)
+    path = str(tmp_path / "state.json")
+    pipe.save_state(path)
+
+    fresh = Pipeline(
+        {
+            "z": Feature("x", [StandardScore()]),
+            "m": Feature("x", [MinMaxScale()]),
+            "r": Feature("x", [RobustScale()]),
+            "q": Feature("x", [TDigestDistribution()]),
+        }
+    ).load_state(path)
+    out2 = fresh.transform(sdf)
+    for c in ["z", "m", "r", "q"]:
+        assert np.array_equal(_col(out1, c), _col(out2, c)), c
+
+
+def test_stats_behind_stats_waves(sdf):
+    # stats op consuming another stats op's output fits in a later wave
+    # (_stats_plan.py:89-102)
+    pipe = Pipeline(
+        {
+            "z": Feature("x", [StandardScore()]),
+            "zz": Feature("z", [MinMaxScale()]),
+        }
+    )
+    assert pipe.waves == [["z.0"], ["zz.0"]]
+    out = pipe.fit_transform(sdf)
+    z = (DATA - DATA.mean()) / DATA.std(ddof=1)
+    expected = (z - z.min()) / (z.max() - z.min())
+    assert np.allclose(_col(out, "zz"), expected)

@@ -1,0 +1,249 @@
+"""Normalization / scaling operators.
+
+Semantics from /root/reference/src/torchestra/_normalization.py; the fit
+statistics run as Catalyst aggregates (one shared ``df.agg`` per fit
+wave — Spark's hash aggregate already does the partial/merge split the
+reference implements by hand in ``calculate_stats``/``combine_stats``),
+and the transforms are pure Column expressions folded with literal
+fitted parameters, so the hot path stays in whole-stage codegen.
+
+The t-digest family (TDigestDistribution, RobustScale) can't use a
+built-in aggregate (Spark's approx_percentile is a different sketch, not
+allclose-compatible) — they fit via per-partition numpy sketches in
+``mapInPandas`` and a deterministic driver merge; see FitKind.SKETCH.
+
+All statistics are float64, like the reference
+(_normalization.py:20-21,107-108,192-193).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from torchestra_spark.core import FitKind, FittedTransform
+from torchestra_spark.tdigest import (
+    DigestState,
+    TDigest,
+    digest_from_state,
+    digest_to_state,
+)
+
+
+class MeanScale(FittedTransform):
+    """(x - mean) / (max - min) — reference _normalization.py:7-91.
+
+    Fit is one global pass (count-weighted mean), equal to the reference
+    fitted on a single shard.  The reference's ``combine_stats`` averages
+    shard means *unweighted* (_normalization.py:54), so a sharded
+    reference run with unequal shards differs; for parity with that mode
+    keep shards equal-sized (as the reference's own tests do).
+    """
+
+    fit_kind = FitKind.SCALAR_AGG
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.mean = 0.0
+        self.delta = 0.0
+
+    def fit_aggs(self, col: Column) -> Dict[str, Column]:
+        c = col.cast("double")
+        return {"mean": F.avg(c), "min": F.min(c), "max": F.max(c)}
+
+    def fit_finalize(self, stats: Dict[str, Any]) -> None:
+        self.mean = float(stats["mean"])
+        self.delta = float(stats["max"]) - float(stats["min"])
+        self._fitted = True
+
+    def expr(self, col: Column) -> Column:
+        self._require_fitted()
+        return (col.cast("double") - F.lit(self.mean)) / F.lit(self.delta)
+
+    def get_state(self) -> Dict[str, Any]:
+        return {"mean": self.mean, "delta": self.delta}
+
+    def set_state(self, state: Dict[str, Any]) -> None:
+        self.mean = float(state["mean"])
+        self.delta = float(state["delta"])
+        self._fitted = True
+
+
+class MinMaxScale(FittedTransform):
+    """(x - min) / (max - min) — reference _normalization.py:94-174."""
+
+    fit_kind = FitKind.SCALAR_AGG
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.vmin = math.inf
+        self.vdelta = math.inf
+
+    def fit_aggs(self, col: Column) -> Dict[str, Column]:
+        c = col.cast("double")
+        return {"min": F.min(c), "max": F.max(c)}
+
+    def fit_finalize(self, stats: Dict[str, Any]) -> None:
+        self.vmin = float(stats["min"])
+        self.vdelta = float(stats["max"]) - self.vmin
+        self._fitted = True
+
+    def expr(self, col: Column) -> Column:
+        self._require_fitted()
+        return (col.cast("double") - F.lit(self.vmin)) / F.lit(self.vdelta)
+
+    def get_state(self) -> Dict[str, Any]:
+        return {"vmin": self.vmin, "vdelta": self.vdelta}
+
+    def set_state(self, state: Dict[str, Any]) -> None:
+        self.vmin = float(state["vmin"])
+        self.vdelta = float(state["vdelta"])
+        self._fitted = True
+
+
+class StandardScore(FittedTransform):
+    """(x - mean) / std with ddof — reference _normalization.py:177-282.
+
+    std = sqrt(sum((x-mean)^2) / (n - ddof)) (_normalization.py:208);
+    expressed as var_pop * n / (n - ddof) so any ddof works with
+    Catalyst's numerically-stable partial+final M2 merge (the reference's
+    hand-written Chan merge, _normalization.py:227-249, is exactly what
+    Spark's central-moment aggregate does internally).
+    """
+
+    fit_kind = FitKind.SCALAR_AGG
+
+    def __init__(self, ddof: int = 1):
+        super().__init__()
+        self.ddof = ddof
+        self.mean = 0.0
+        self.std = 1.0
+
+    def fit_aggs(self, col: Column) -> Dict[str, Column]:
+        c = col.cast("double")
+        return {"n": F.count(c), "mean": F.avg(c), "var_pop": F.var_pop(c)}
+
+    def fit_finalize(self, stats: Dict[str, Any]) -> None:
+        n = int(stats["n"])
+        self.mean = float(stats["mean"])
+        var_pop = float(stats["var_pop"]) if stats["var_pop"] is not None else 0.0
+        self.std = math.sqrt(var_pop * n / (n - self.ddof)) if n > self.ddof else float("nan")
+        self._fitted = True
+
+    def expr(self, col: Column) -> Column:
+        self._require_fitted()
+        return (col.cast("double") - F.lit(self.mean)) / F.lit(self.std)
+
+    def get_state(self) -> Dict[str, Any]:
+        return {"ddof": self.ddof, "mean": self.mean, "std": self.std}
+
+    def set_state(self, state: Dict[str, Any]) -> None:
+        self.ddof = int(state["ddof"])
+        self.mean = float(state["mean"])
+        self.std = float(state["std"])
+        self._fitted = True
+
+
+class _SketchOp(FittedTransform):
+    """Shared t-digest fit machinery for TDigestDistribution/RobustScale.
+
+    Fit contract (FitKind.SKETCH): the planner runs one ``mapInPandas``
+    pass emitting per-partition centroid rows ``(op_id, mean, weight)``
+    (≤ 2*compression per partition after compaction), collects them, and
+    calls ``fit_finalize`` with the partials in partition order — the
+    same shard-merge discipline as the reference
+    (_normalization.py:601-613).
+    """
+
+    fit_kind = FitKind.SKETCH
+
+    def __init__(self, compression: float = 1000.0):
+        super().__init__()
+        self.compression = float(compression)
+        self._td = TDigest(compression)
+
+    def partial_sketch(self, values: np.ndarray) -> DigestState:
+        """Per-partition partial: add values, compact, return centroids."""
+        d = self._td.new_digest()
+        finite = values[~np.isnan(values)]
+        self._td.add_values(d, finite)
+        self._td._process(d)
+        return d
+
+    def merge_partials(self, partials: List[DigestState]) -> DigestState:
+        t = self._td.new_digest()
+        for p in partials:
+            self._td.merge_digests(t, p)
+        return t
+
+
+class TDigestDistribution(_SketchOp):
+    """forward(x) = estimated CDF(x) — reference _normalization.py:565-628.
+
+    This is the QuantileBin primitive: maps values to their estimated
+    quantile position.  Transform is an Arrow-batched pandas UDF over the
+    broadcast finalized centroid arrays (≤ 2*compression f64 pairs).
+    """
+
+    def fit_finalize(self, partials: List[DigestState]) -> None:
+        t = self.merge_partials(partials)
+        self._td.finalize(t)
+        self.t = t
+        self._fitted = True
+
+    def expr(self, col: Column) -> Column:
+        self._require_fitted()
+        td, digest = self._td, self.t
+
+        @F.pandas_udf("double")
+        def _cdf(s: pd.Series) -> pd.Series:
+            vals = s.to_numpy(dtype=np.float64, na_value=np.nan)
+            return pd.Series(td.cdf(digest, vals), index=s.index)
+
+        return _cdf(col.cast("double"))
+
+    def get_state(self) -> Dict[str, Any]:
+        return {"compression": self.compression, "digest": digest_to_state(self.t)}
+
+    def set_state(self, state: Dict[str, Any]) -> None:
+        self.compression = float(state["compression"])
+        self._td = TDigest(self.compression)
+        self.t = digest_from_state(state["digest"], self.compression)
+        self._fitted = True
+
+
+class RobustScale(_SketchOp):
+    """(x - median) / IQR — reference _normalization.py:631-691.
+
+    The digest is only used at finalize to extract q25/q50/q75
+    (_normalization.py:685-688); the transform itself is a pure Column
+    expression with two literal parameters.
+    """
+
+    def fit_finalize(self, partials: List[DigestState]) -> None:
+        t = self.merge_partials(partials)
+        self._td.finalize(t)
+        self.median = float(self._td.quantile(t, np.array([0.5]))[0])
+        q1 = float(self._td.quantile(t, np.array([0.25]))[0])
+        q3 = float(self._td.quantile(t, np.array([0.75]))[0])
+        self.iqr = q3 - q1
+        self._fitted = True
+
+    def expr(self, col: Column) -> Column:
+        self._require_fitted()
+        return (col.cast("double") - F.lit(self.median)) / F.lit(self.iqr)
+
+    def get_state(self) -> Dict[str, Any]:
+        return {"compression": self.compression, "median": self.median, "iqr": self.iqr}
+
+    def set_state(self, state: Dict[str, Any]) -> None:
+        self.compression = float(state["compression"])
+        self._td = TDigest(self.compression)
+        self.median = float(state["median"])
+        self.iqr = float(state["iqr"])
+        self._fitted = True

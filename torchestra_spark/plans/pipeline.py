@@ -1,0 +1,343 @@
+"""Pipeline composition + staged fit planner.
+
+The reference composes ops with Sequential/Parallel into a torch.fx
+graph and fits stateful ops in dependency *waves* via StatsPlan
+(/root/reference/src/torchestra/_pipes.py, _stats_plan.py).  Here the
+composition is a set of named **features**, each a chain of ops applied
+to an input column or to another feature's output:
+
+    Pipeline({
+        "price_z":  Feature("l_extendedprice", [StandardScore(), Clamp(-4, 4)]),
+        "price_q":  Feature("price_z", [TDigestDistribution()]),   # stats-behind-stats
+        "seg_idx":  Feature("c_mktsegment", [IndexLookup(TopK(3))]),
+    })
+
+* chains = the reference Sequential (deps accumulate left->right,
+  _stats_plan.py:35-38);
+* several features rooted at the same input = the reference Parallel
+  (branches share only *prior* deps, _stats_plan.py:29-33);
+* a feature rooted at another feature = Sequential chaining across
+  named outputs.
+
+Fit executes one dependency wave at a time (Kahn-style, mirroring
+_stats_plan.py:89-102).  Within a wave everything is batched for
+minimal passes over the data:
+
+* all SCALAR_AGG fits -> **one** ``df.agg(...)`` (single scan; Catalyst
+  hash aggregate does partial/merge — the reference's calculate/combine
+  split);
+* all VOCAB fits -> one unpivot + ``groupBy(op, key).count()`` job
+  (single shuffle for every vocabulary in the wave), eliminators pushed
+  as Spark predicates before the driver collect;
+* all SKETCH fits -> one ``mapInPandas`` pass emitting per-partition
+  t-digest centroids, merged on the driver in partition order (the
+  reference's shard merge, _normalization.py:601-613).
+
+Transform compiles every feature into Column expressions applied in
+dependency order — one logical projection, optimized by Catalyst into a
+single whole-stage-codegen'd select (plus Arrow UDF stages where lookups
+/ digests need their broadcast state).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from torchestra_spark.core import FitKind, FittedTransform, Transform
+from torchestra_spark.operators.lookups import Eliminator
+from torchestra_spark.state import StateArtifact
+
+
+class Feature:
+    """A named chain of ops over an input reference (source column name
+    or another feature's name)."""
+
+    def __init__(self, input_ref: str, ops: Optional[Sequence[Transform]] = None):
+        self.input_ref = input_ref
+        self.ops: List[Transform] = list(ops or [])
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Feature({self.input_ref!r}, {self.ops!r})"
+
+
+class Pipeline:
+    def __init__(self, features: Dict[str, Feature]):
+        self.features = dict(features)
+        self._validate()
+        # dependency map: stats-op path -> set of upstream stats-op paths
+        # (reference StatsPlan.dependencies, _stats_plan.py:20-48)
+        self.dependencies = self._find_stats_ops()
+        self.stats_op_paths = list(self.dependencies.keys())
+        self.waves = list(self._build_waves())
+
+    # ------------------------------------------------------------- structure
+    def _validate(self) -> None:
+        for name, feat in self.features.items():
+            ref = feat.input_ref
+            seen: Set[str] = {name}
+            while ref in self.features:
+                if ref in seen:
+                    raise ValueError(f"feature cycle through {ref!r}")
+                seen.add(ref)
+                ref = self.features[ref].input_ref
+
+    def _op(self, path: str) -> Transform:
+        name, _, idx = path.rpartition(".")
+        return self.features[name].ops[int(idx)]
+
+    def _upstream_stats(self, ref: str) -> List[str]:
+        """All stats-op paths upstream of (and including) feature `ref`."""
+        if ref not in self.features:
+            return []
+        feat = self.features[ref]
+        out = self._upstream_stats(feat.input_ref)
+        out += [
+            f"{ref}.{i}" for i, op in enumerate(feat.ops) if isinstance(op, FittedTransform)
+        ]
+        return out
+
+    def _find_stats_ops(self) -> Dict[str, Set[str]]:
+        deps: Dict[str, Set[str]] = {}
+        for name, feat in self.features.items():
+            inherited = self._upstream_stats(feat.input_ref)
+            chain: List[str] = list(inherited)
+            for i, op in enumerate(feat.ops):
+                if isinstance(op, FittedTransform):
+                    path = f"{name}.{i}"
+                    deps[path] = set(chain)
+                    chain.append(path)
+        return deps
+
+    def _build_waves(self) -> Iterator[List[str]]:
+        # Kahn-style waves, reference _stats_plan.py:89-102
+        resolved: Set[str] = set()
+        while len(resolved) < len(self.stats_op_paths):
+            wave = [
+                p
+                for p in self.stats_op_paths
+                if p not in resolved and self.dependencies[p].issubset(resolved)
+            ]
+            if not wave:  # pragma: no cover - cycle guard
+                raise RuntimeError("unresolvable stats dependencies")
+            resolved.update(wave)
+            yield wave
+
+    # ---------------------------------------------------------- expressions
+    def _input_expr(self, path: str) -> Column:
+        """Composed Column feeding the op at `path` (the reference's
+        minimal input-prefix subgraph, _stats_plan.py:63-87)."""
+        name, _, idx = path.rpartition(".")
+        return self._compose(name, upto=int(idx))
+
+    def _compose(self, name: str, upto: Optional[int] = None) -> Column:
+        feat = self.features[name]
+        ref = feat.input_ref
+        if ref in self.features:
+            col = self._compose(ref)
+        else:
+            col = F.col(ref)
+        ops = feat.ops if upto is None else feat.ops[:upto]
+        for op in ops:
+            col = op.expr(col)
+        return col
+
+    def output_expr(self, name: str) -> Column:
+        """Fully-composed expression for a feature (requires fit)."""
+        return self._compose(name)
+
+    # ----------------------------------------------------------------- fit
+    def fit(self, df: DataFrame) -> "Pipeline":
+        for wave in self.waves:
+            self._fit_wave(df, wave)
+        return self
+
+    def fit_transform(self, df: DataFrame, keep_input: bool = True) -> DataFrame:
+        return self.fit(df).transform(df, keep_input=keep_input)
+
+    def _fit_wave(self, df: DataFrame, wave: List[str]) -> None:
+        scalar: List[Tuple[str, FittedTransform, Column]] = []
+        vocab: List[Tuple[str, FittedTransform, Column]] = []
+        sketch: List[Tuple[str, FittedTransform, Column]] = []
+        for path in wave:
+            op = self._op(path)
+            assert isinstance(op, FittedTransform)
+            col = self._input_expr(path)
+            if op.fit_kind is FitKind.SCALAR_AGG:
+                scalar.append((path, op, col))
+            elif op.fit_kind is FitKind.VOCAB:
+                vocab.append((path, op, col))
+            elif op.fit_kind is FitKind.SKETCH:
+                sketch.append((path, op, col))
+            else:  # pragma: no cover
+                raise ValueError(op.fit_kind)
+
+        if scalar:
+            self._fit_scalar(df, scalar)
+        if vocab:
+            self._fit_vocab(df, vocab)
+        if sketch:
+            self._fit_sketch(df, sketch)
+
+    @staticmethod
+    def _fit_scalar(df: DataFrame, ops: List[Tuple[str, FittedTransform, Column]]) -> None:
+        """One df.agg for every scalar-stat op in the wave (shared scan)."""
+        aggs: List[Column] = []
+        slots: List[Tuple[FittedTransform, List[str]]] = []
+        for j, (_path, op, col) in enumerate(ops):
+            names = []
+            for stat_name, agg in op.fit_aggs(col).items():
+                alias = f"s{j}__{stat_name}"
+                aggs.append(agg.alias(alias))
+                names.append(stat_name)
+            slots.append((op, names))
+        row = df.agg(*aggs).collect()[0].asDict()
+        for j, (op, names) in enumerate(slots):
+            op.fit_finalize({n: row[f"s{j}__{n}"] for n in names})
+
+    @staticmethod
+    def _fit_vocab(df: DataFrame, ops: List[Tuple[str, FittedTransform, Column]]) -> None:
+        """One unpivot + groupBy job for every vocabulary in the wave;
+        eliminators applied Spark-side before the collect."""
+        structs = [
+            F.struct(F.lit(j).alias("op"), col.cast("string").alias("key"))
+            for j, (_p, _o, col) in enumerate(ops)
+        ]
+        pairs = df.select(F.explode(F.array(*structs)).alias("kv")).select("kv.op", "kv.key")
+        counts = (
+            pairs.filter(F.col("key").isNotNull()).groupBy("op", "key").agg(F.count("*").alias("cnt"))
+        )
+        counts.persist()
+        try:
+            pruned = None
+            for j, (_path, op, _col) in enumerate(ops):
+                elim: Eliminator = getattr(op, "eliminator")
+                sub = counts.filter(F.col("op") == j)
+                sub = elim.prune_spark(sub, "key", "cnt", group_cols=[])
+                pruned = sub if pruned is None else pruned.unionAll(sub)
+            rows = pruned.collect()
+        finally:
+            counts.unpersist()
+        by_op: Dict[int, Dict[str, int]] = {j: {} for j in range(len(ops))}
+        for r in rows:
+            by_op[r["op"]][r["key"]] = r["cnt"]
+        for j, (_path, op, _col) in enumerate(ops):
+            op.fit_finalize(by_op[j])
+
+    @staticmethod
+    def _fit_sketch(df: DataFrame, ops: List[Tuple[str, FittedTransform, Column]]) -> None:
+        """One mapInPandas pass -> per-partition t-digest centroids for
+        every sketch op in the wave; driver merge in partition order."""
+        from pyspark import TaskContext
+
+        sketchers = [op for (_p, op, _c) in ops]
+        sel = df.select(*[col.cast("double").alias(f"c{j}") for j, (_p, _o, col) in enumerate(ops)])
+        n_ops = len(ops)
+
+        def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            tc = TaskContext.get()
+            pid = tc.partitionId() if tc is not None else 0
+            digests = [sketchers[j]._td.new_digest() for j in range(n_ops)]
+            for pdf in batches:
+                for j in range(n_ops):
+                    vals = pdf[f"c{j}"].to_numpy(dtype=np.float64, na_value=np.nan)
+                    sketchers[j]._td.add_values(digests[j], vals[~np.isnan(vals)])
+            out = []
+            for j in range(n_ops):
+                d = digests[j]
+                sketchers[j]._td._process(d)
+                k = d.n_processed
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "op": np.full(k, j, dtype=np.int32),
+                            "pid": np.full(k, pid, dtype=np.int32),
+                            "mean": d.processed_means[:k],
+                            "weight": d.processed_weights[:k],
+                        }
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                {"op": [], "pid": [], "mean": [], "weight": []}
+            )
+
+        rows = sel.mapInPandas(build, "op int, pid int, mean double, weight double").collect()
+        # group centroids per (op, pid), preserving partition order
+        per_op: Dict[int, Dict[int, Tuple[List[float], List[float]]]] = {
+            j: {} for j in range(n_ops)
+        }
+        for r in rows:
+            bucket = per_op[r["op"]].setdefault(r["pid"], ([], []))
+            bucket[0].append(r["mean"])
+            bucket[1].append(r["weight"])
+        for j, (_path, op, _col) in enumerate(ops):
+            partials = []
+            for pid in sorted(per_op[j]):
+                means, weights = per_op[j][pid]
+                d = op._td.new_digest()
+                k = len(means)
+                d.processed_means[:k] = means
+                d.processed_weights[:k] = weights
+                d.n_processed = k
+                d.processed_weight = float(np.sum(weights))
+                if k:
+                    d.mean_min = float(means[0])
+                    d.mean_max = float(means[-1])
+                partials.append(d)
+            op.fit_finalize(partials)
+
+    # ------------------------------------------------------------ transform
+    def transform(self, df: DataFrame, keep_input: bool = True) -> DataFrame:
+        order = self._feature_order()
+        # dependency-ordered withColumns; Catalyst collapses the
+        # projections into one select
+        for name in order:
+            feat = self.features[name]
+            ref = feat.input_ref
+            col = F.col(ref)  # prior feature output or source column
+            for op in feat.ops:
+                col = op.expr(col)
+            df = df.withColumn(name, col)
+        if not keep_input:
+            df = df.select(*order)
+        return df
+
+    def _feature_order(self) -> List[str]:
+        out: List[str] = []
+        visiting: Set[str] = set()
+
+        def visit(name: str) -> None:
+            if name in out:
+                return
+            if name in visiting:  # pragma: no cover - guarded in _validate
+                raise ValueError("cycle")
+            visiting.add(name)
+            ref = self.features[name].input_ref
+            if ref in self.features:
+                visit(ref)
+            visiting.discard(name)
+            out.append(name)
+
+        for name in self.features:
+            visit(name)
+        return out
+
+    # ---------------------------------------------------------------- state
+    def save_state(self, path: str) -> None:
+        states: Dict[str, Dict[str, Any]] = {}
+        for name, feat in self.features.items():
+            for i, op in enumerate(feat.ops):
+                if isinstance(op, FittedTransform):
+                    states[f"{name}.{i}"] = op.get_state()
+        StateArtifact(states).save(path)
+
+    def load_state(self, path: str) -> "Pipeline":
+        artifact = StateArtifact.load(path)
+        for op_path, state in artifact.states.items():
+            op = self._op(op_path)
+            op.set_state(state)
+        return self

@@ -20,6 +20,18 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from torchestra_spark.operators.sequences import (  # noqa: E402
+    SparseLen,
+    SparseMapSequences,
+    SparseTrunc,
+    SparseTruncPad,
+)
+from torchestra_spark.operators.temporal import (  # noqa: E402
+    asof_join,
+    fill_forward,
+    lag_lead,
+    sessionize,
+)
 from torchestra_spark import (  # noqa: E402
     Clamp,
     CountLookup,
@@ -45,23 +57,41 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _purchase_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature side derived from events: latest purchase value per user
+    (deduped per (user, ts) for deterministic as-of semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("feature_ts"))
+        .agg(F.max("value").alias("fval"))
+    )
+
+
 # --------------------------------------------------------------------- entry
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: fitted feature vector over lineitem at sf0.001 —
-    StandardScore/MinMaxScale/RobustScale on price columns + vocabulary
-    index on the return flag, in one staged fit and one transform."""
+    """Flagship: point-in-time feature vector over events at sf0.001 —
+    as-of join of each event against the user's latest prior purchase,
+    lag/sessionize window features, fitted StandardScore on value and
+    vocabulary index on event_type (north-rule core in one query)."""
     sf_dir = "/root/testdata/sf0.001"
-    li = _t(spark, sf_dir, "lineitem")
+    ev = _t(spark, sf_dir, "events")
+    feats = _purchase_features(spark, sf_dir)
+    pit = asof_join(ev, feats, on="user_id", left_ts="ts", right_ts="feature_ts",
+                    value_cols=["fval"])
+    pit = lag_lead(pit, "user_id", ["ts", "event_id"], "value", lags=(1,))
+    pit = sessionize(pit, "user_id", ["ts", "event_id"], gap_sec=6 * 3600.0)
     pipe = Pipeline(
         {
-            "price_z": Feature("l_extendedprice", [StandardScore(), NanToNum(), Clamp(-4.0, 4.0)]),
-            "qty_mm": Feature("l_quantity", [MinMaxScale()]),
-            "disc_r": Feature("l_discount", [RobustScale()]),
-            "flag_idx": Feature("l_returnflag", [IndexLookup()]),
+            "value_z": Feature("value", [StandardScore(), NanToNum(), Clamp(-4.0, 4.0)]),
+            "etype_idx": Feature("event_type", [IndexLookup()]),
         }
     )
-    out = pipe.fit_transform(li)
-    return out.select("l_orderkey", "l_linenumber", "price_z", "qty_mm", "disc_r", "flag_idx")
+    out = pipe.fit_transform(pit)
+    return out.select(
+        "event_id", "user_id", "ts", "fval", "matched_feature_ts",
+        "value_lag1", "session_id", "value_z", "etype_idx",
+    )
 
 
 # ------------------------------------------------------------------- queries
@@ -202,6 +232,148 @@ def _q_pipeline_multi_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- temporal
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    feats = _purchase_features(spark, sf_dir)
+    out = asof_join(ev, feats, on="user_id", left_ts="ts", right_ts="feature_ts",
+                    value_cols=["fval"])
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.round(F.col("fval"), 6).alias("fval"),
+        F.col("matched_feature_ts").alias("matched_ts"),
+    )
+
+
+def _q_asof_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # identical semantics under skew salting (8 time-buckets per entity)
+    ev = _t(spark, sf_dir, "events")
+    feats = _purchase_features(spark, sf_dir)
+    out = asof_join(ev, feats, on="user_id", left_ts="ts", right_ts="feature_ts",
+                    value_cols=["fval"], salt_buckets=8)
+    return out.select(
+        "event_id", "user_id",
+        F.round(F.col("fval"), 6).alias("fval"),
+        F.col("matched_feature_ts").alias("matched_ts"),
+    )
+
+
+def _q_asof_join_merge_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cogrouped pandas merge_asof path — same oracle as the union path
+    ev = _t(spark, sf_dir, "events")
+    feats = _purchase_features(spark, sf_dir)
+    out = asof_join(ev, feats, on="user_id", left_ts="ts", right_ts="feature_ts",
+                    value_cols=["fval"], strategy="merge_asof")
+    return out.select(
+        "event_id", "user_id",
+        F.round(F.col("fval"), 6).alias("fval"),
+        F.col("matched_feature_ts").alias("matched_ts"),
+    )
+
+
+def _q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    feats = _purchase_features(spark, sf_dir)
+    out = asof_join(ev, feats, on="user_id", left_ts="ts", right_ts="feature_ts",
+                    value_cols=["fval"], tolerance_sec=2 * 86400.0)
+    return out.select(
+        "event_id", F.round(F.col("fval"), 6).alias("fval"),
+        F.col("matched_feature_ts").alias("matched_ts"),
+    )
+
+
+def _q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = lag_lead(ev, "user_id", ["ts", "event_id"], "value", lags=(1, 2), leads=(1,))
+    return out.select(
+        "event_id",
+        F.round("value_lag1", 6).alias("value_lag1"),
+        F.round("value_lag2", 6).alias("value_lag2"),
+        F.round("value_lead1", 6).alias("value_lead1"),
+    )
+
+
+def _q_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "purchase_value",
+        F.when(F.col("event_type") == "purchase", F.col("value")),
+    )
+    out = fill_forward(ev, "user_id", ["ts", "event_id"], ["purchase_value"])
+    return out.select(
+        "event_id", F.round("purchase_value", 6).alias("purchase_value")
+    )
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize(ev, "user_id", ["ts", "event_id"], gap_sec=6 * 3600.0)
+    return out.select("event_id", "user_id", "session_id")
+
+
+# --------------------------------------------------------------- sequences
+def _q_seq_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _t(spark, sf_dir, "embeddings")
+    pipe = Pipeline({"seq_len": Feature("embedding", [SparseLen()])})
+    return pipe.fit_transform(em).select("vec_id", "seq_len")
+
+
+def _q_seq_trunc_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _t(spark, sf_dir, "embeddings")
+    pipe = Pipeline(
+        {"s8": Feature("embedding", [SparseTrunc(8), SparseMapSequences("sum")])}
+    )
+    return pipe.fit_transform(em).select("vec_id", F.round(F.col("s8"), 6).alias("s8"))
+
+
+def _q_seq_trunc_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pad embeddings (len 64) to 80; checksum + length prove pad content
+    em = _t(spark, sf_dir, "embeddings")
+    pipe = Pipeline(
+        {"padded": Feature("embedding", [SparseTruncPad(80, value=0.0, elem_type="float")])}
+    )
+    out = pipe.fit_transform(em)
+    return out.select(
+        "vec_id",
+        F.size("padded").alias("pad_len"),
+        F.round(
+            F.aggregate("padded", F.lit(0.0), lambda a, x: a + x.cast("double")), 6
+        ).alias("pad_sum"),
+    )
+
+
+def _q_doc_token_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # word-token view of documents: count + first-5-token string
+    doc = _t(spark, sf_dir, "documents").withColumn("words", F.split("text", " "))
+    pipe = Pipeline(
+        {
+            "n_words": Feature("words", [SparseLen()]),
+            "head": Feature("words", [SparseTrunc(5)]),
+        }
+    )
+    out = pipe.fit_transform(doc)
+    return out.select(
+        "doc_id", "n_words", F.array_join("head", " ").alias("head5")
+    )
+
+
+def _q_tokenized_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # input_hint table end-to-end: synthesize, truncate/pad, reduce,
+    # normalize (rows-only check; exact-equality goldens in pytest)
+    from torchestra_spark.io.sources import tokenized_sequences
+
+    toks = tokenized_sequences(spark, 2000, seed=42, partitions=8)
+    pipe = Pipeline(
+        {
+            "padded": Feature("tokens", [SparseTruncPad(32, value=0, elem_type="int")]),
+            "tok_sum": Feature("tokens", [SparseMapSequences("sum")]),
+            "tok_sum_z": Feature("tok_sum", [StandardScore()]),
+            "src_idx": Feature("source", [IndexLookup()]),
+        }
+    )
+    out = pipe.fit_transform(toks)
+    return out.select("doc_id", "n_tok", "padded", "tok_sum_z", "src_idx")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "standard_score": _q_standard_score,
@@ -220,6 +392,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "int_ratio_lookup": _q_int_ratio_lookup,
         "int_index_lookup": _q_int_index_lookup,
         "pipeline_multi_feature": _q_pipeline_multi_feature,
+        "asof_join": _q_asof_join,
+        "asof_join_salted": _q_asof_join_salted,
+        "asof_join_merge_strategy": _q_asof_join_merge_strategy,
+        "asof_join_tolerance": _q_asof_join_tolerance,
+        "lag_lead": _q_lag_lead,
+        "fill_forward": _q_fill_forward,
+        "sessionize": _q_sessionize,
+        "seq_len": _q_seq_len,
+        "seq_trunc_sum": _q_seq_trunc_sum,
+        "seq_trunc_pad": _q_seq_trunc_pad,
+        "doc_token_trunc": _q_doc_token_trunc,
+        "tokenized_pipeline": _q_tokenized_pipeline,
     }
 
 
@@ -333,5 +517,102 @@ def oracle_sql() -> dict[str, str]:
                          / (MAX(l.l_quantity) OVER () - MIN(l.l_quantity) OVER ()), 6) AS qty_mm,
                    COALESCE(v.idx, 1) AS flag_idx
             FROM lineitem l LEFT JOIN v ON l.l_returnflag = v.k
+        """,
+        "asof_join": """
+            WITH f AS (
+                SELECT user_id, ts AS feature_ts, MAX(value) AS fval
+                FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+            )
+            SELECT e.event_id, e.user_id, e.ts,
+                   ROUND(f.fval, 6) AS fval, f.feature_ts AS matched_ts
+            FROM events e
+            ASOF LEFT JOIN f ON e.user_id = f.user_id AND e.ts >= f.feature_ts
+        """,
+        "asof_join_salted": """
+            WITH f AS (
+                SELECT user_id, ts AS feature_ts, MAX(value) AS fval
+                FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+            )
+            SELECT e.event_id, e.user_id,
+                   ROUND(f.fval, 6) AS fval, f.feature_ts AS matched_ts
+            FROM events e
+            ASOF LEFT JOIN f ON e.user_id = f.user_id AND e.ts >= f.feature_ts
+        """,
+        "asof_join_merge_strategy": """
+            WITH f AS (
+                SELECT user_id, ts AS feature_ts, MAX(value) AS fval
+                FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+            )
+            SELECT e.event_id, e.user_id,
+                   ROUND(f.fval, 6) AS fval, f.feature_ts AS matched_ts
+            FROM events e
+            ASOF LEFT JOIN f ON e.user_id = f.user_id AND e.ts >= f.feature_ts
+        """,
+        "asof_join_tolerance": """
+            WITH f AS (
+                SELECT user_id, ts AS feature_ts, MAX(value) AS fval
+                FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+            ), j AS (
+                SELECT e.event_id, e.ts, f.fval, f.feature_ts
+                FROM events e
+                ASOF LEFT JOIN f ON e.user_id = f.user_id AND e.ts >= f.feature_ts
+            )
+            SELECT event_id,
+                   CASE WHEN ts - feature_ts <= INTERVAL 2 DAY
+                        THEN ROUND(fval, 6) END AS fval,
+                   CASE WHEN ts - feature_ts <= INTERVAL 2 DAY
+                        THEN feature_ts END AS matched_ts
+            FROM j
+        """,
+        "lag_lead": """
+            SELECT event_id,
+                   ROUND(LAG(value, 1) OVER w, 6) AS value_lag1,
+                   ROUND(LAG(value, 2) OVER w, 6) AS value_lag2,
+                   ROUND(LEAD(value, 1) OVER w, 6) AS value_lead1
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "fill_forward": """
+            SELECT event_id,
+                   ROUND(LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+                                    IGNORE NULLS) OVER w, 6) AS purchase_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "sessionize": """
+            WITH g AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN ts - LAG(ts) OVER w IS NULL
+                              OR ts - LAG(ts) OVER w > INTERVAL 6 HOUR
+                            THEN 1 ELSE 0 END AS boundary
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_id, user_id,
+                   SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - 1 AS session_id
+            FROM g
+        """,
+        "seq_len": """
+            SELECT vec_id, len(embedding) AS seq_len FROM embeddings
+        """,
+        "seq_trunc_sum": """
+            SELECT vec_id,
+                   ROUND(list_sum(CAST(embedding[1:8] AS DOUBLE[])), 6) AS s8
+            FROM embeddings
+        """,
+        "seq_trunc_pad": """
+            SELECT vec_id,
+                   len(embedding) + 16 AS pad_len,
+                   ROUND(list_sum(CAST(embedding AS DOUBLE[])), 6) AS pad_sum
+            FROM embeddings
+        """,
+        "doc_token_trunc": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_words,
+                   array_to_string(string_split(text, ' ')[1:5], ' ') AS head5
+            FROM documents
         """,
     }

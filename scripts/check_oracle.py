@@ -28,6 +28,8 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     for c in pdf.columns:
         if pdf[c].dtype == object:
             pdf[c] = pdf[c].astype(str)
+        elif np.issubdtype(pdf[c].dtype, np.datetime64):
+            pdf[c] = pdf[c].astype("datetime64[us]").astype("int64")  # NaT -> int64 min
         elif np.issubdtype(pdf[c].dtype, np.integer):
             pdf[c] = pdf[c].astype("int64")
         elif np.issubdtype(pdf[c].dtype, np.floating):

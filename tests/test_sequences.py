@@ -1,0 +1,144 @@
+"""Token/sequence op goldens — exact equality, mirroring
+/root/reference/src/torchestra/test_sparse_slices.py:14-84, over the
+synthesized input_hint table (FIXTURES.md F1)."""
+
+import numpy as np
+import pytest
+
+from torchestra_spark.io.sources import tokenized_sequences
+from torchestra_spark.operators.sequences import (
+    SparseLen,
+    SparseMapSequences,
+    SparseTrunc,
+    SparseTruncPad,
+    flatten_values,
+    with_offsets,
+)
+from torchestra_spark import Feature, Pipeline
+
+
+@pytest.fixture(scope="module")
+def toks(spark):
+    return tokenized_sequences(spark, 1000, seed=42, partitions=4).cache()
+
+
+@pytest.fixture(scope="module")
+def toks_pd(toks):
+    pdf = toks.toPandas().sort_values("doc_id", ignore_index=True)
+    pdf["tokens"] = pdf["tokens"].map(np.asarray)
+    return pdf
+
+
+def _col(df, name):
+    return [r[name] for r in df.select("doc_id", name).orderBy("doc_id").collect()]
+
+
+def test_generator_invariants(toks_pd):
+    assert len(toks_pd) == 1000
+    assert (toks_pd["tokens"].map(len) == toks_pd["n_tok"]).all()
+    assert toks_pd["n_tok"].max() <= 512
+    assert set(toks_pd["source"]) <= {"web", "book", "code", "wiki"}
+    flat = np.concatenate([t for t in toks_pd["tokens"] if len(t)])
+    assert flat.min() >= 0 and flat.max() < 50257
+
+
+def test_generator_partition_invariance(spark):
+    a = tokenized_sequences(spark, 200, seed=42, partitions=1).toPandas()
+    b = tokenized_sequences(spark, 200, seed=42, partitions=7).toPandas()
+    a = a.sort_values("doc_id", ignore_index=True)
+    b = b.sort_values("doc_id", ignore_index=True)
+    assert (a["n_tok"] == b["n_tok"]).all()
+    for x, y in zip(a["tokens"], b["tokens"]):
+        assert np.array_equal(x, y)
+    assert (a["source"] == b["source"]).all()
+
+
+def test_sparse_len(toks, toks_pd):
+    out = Pipeline({"L": Feature("tokens", [SparseLen()])}).fit_transform(toks)
+    assert _col(out, "L") == toks_pd["tokens"].map(len).tolist()
+
+
+def test_sparse_trunc(toks, toks_pd):
+    # exact equality — test_sparse_slices.py:39-52 semantics
+    out = Pipeline({"t": Feature("tokens", [SparseTrunc(16)])}).fit_transform(toks)
+    got = _col(out, "t")
+    for g, ref in zip(got, toks_pd["tokens"]):
+        assert np.array_equal(np.asarray(g), ref[:16])
+
+
+def test_sparse_trunc_pad(toks, toks_pd):
+    # golden semantics test_sparse_slices.py:63-70: truncate then right-pad
+    out = Pipeline(
+        {"t": Feature("tokens", [SparseTruncPad(16, value=0, elem_type="int")])}
+    ).fit_transform(toks)
+    got = _col(out, "t")
+    for g, ref in zip(got, toks_pd["tokens"]):
+        exp = np.zeros(16, dtype=np.int32)
+        r = ref[:16]
+        exp[: len(r)] = r
+        assert np.array_equal(np.asarray(g), exp)
+        assert len(g) == 16
+
+
+def test_sparse_map_sequences_sum(toks, toks_pd):
+    # per-row sums — test_sparse_slices.py:73-84
+    out = Pipeline({"s": Feature("tokens", [SparseMapSequences("sum")])}).fit_transform(toks)
+    exp = [float(t.sum()) for t in toks_pd["tokens"]]
+    assert np.allclose(_col(out, "s"), exp)
+
+
+def test_sparse_map_sequences_builtins(toks, toks_pd):
+    pipe = Pipeline(
+        {
+            "mx": Feature("tokens", [SparseMapSequences("max")]),
+            "mn": Feature("tokens", [SparseMapSequences("min")]),
+            "avg": Feature("tokens", [SparseMapSequences("mean")]),
+        }
+    )
+    out = pipe.fit_transform(toks)
+    nonempty = toks_pd[toks_pd["n_tok"] > 0]
+    got_mx = dict(zip(_col(out, "doc_id") if False else [], []))  # noqa: placeholder
+    rows = {r["doc_id"]: r for r in out.select("doc_id", "mx", "mn", "avg").collect()}
+    for _, t in nonempty.iterrows():
+        r = rows[t["doc_id"]]
+        assert r["mx"] == t["tokens"].max()
+        assert r["mn"] == t["tokens"].min()
+        assert np.isclose(r["avg"], t["tokens"].astype(np.float64).mean())
+
+
+def test_sparse_map_sequences_custom(toks, toks_pd):
+    # arbitrary numpy reducer via Arrow UDF fallback
+    out = Pipeline(
+        {"v": Feature("tokens", [SparseMapSequences(lambda a: float(np.var(a)) if len(a) else None)])}
+    ).fit_transform(toks)
+    rows = {r["doc_id"]: r["v"] for r in out.select("doc_id", "v").collect()}
+    for _, t in toks_pd[toks_pd["n_tok"] > 0].iterrows():
+        assert np.isclose(rows[t["doc_id"]], np.var(t["tokens"]))
+
+
+def test_flatten_and_offsets(spark, toks, toks_pd):
+    flat = flatten_values(toks, "tokens", keep=["doc_id"])
+    assert flat.count() == int(toks_pd["n_tok"].sum())
+    off = with_offsets(toks.limit(50), "tokens", "doc_id").orderBy("doc_id").collect()
+    begin = 0
+    for r in off:
+        assert r["begin"] == begin
+        assert r["end"] == begin + len(r["tokens"])
+        begin = r["end"]
+
+
+def test_scaler_over_sequence_feature(toks, toks_pd):
+    # compose: per-row token sum -> StandardScore (fit over derived col)
+    from torchestra_spark import StandardScore
+
+    pipe = Pipeline(
+        {
+            "s": Feature("tokens", [SparseMapSequences("sum")]),
+            "z": Feature("s", [StandardScore()]),
+        }
+    )
+    out = pipe.fit_transform(toks)
+    sums = np.array([float(t.sum()) for t in toks_pd["tokens"]])
+    exp = (sums - sums.mean()) / sums.std(ddof=1)
+    got = np.array(_col(out, "z"))
+    assert np.allclose(got, exp)

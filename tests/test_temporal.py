@@ -1,0 +1,171 @@
+"""Temporal engine tests (FIXTURES.md F2): as-of join vs pandas
+merge_asof oracle (both strategies + salted skew variant), zero
+temporal leakage, lag/lead/fill-forward/sessionize vs pandas."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from torchestra_spark.io.sources import feature_events
+from torchestra_spark.operators.temporal import (
+    asof_join,
+    fill_forward,
+    lag_lead,
+    sessionize,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def events_pd(events):
+    return events.toPandas().sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+
+
+@pytest.fixture(scope="module")
+def feats(spark, events_pd):
+    # feature side keyed to the same user_id domain as events
+    n = int(events_pd["user_id"].max()) + 1
+    return feature_events(spark, n_entities=n, seed=7, partitions=4).cache()
+
+
+@pytest.fixture(scope="module")
+def feats_pd(feats):
+    return feats.toPandas().sort_values(["user_id", "feature_ts", "seq"], ignore_index=True)
+
+
+def _oracle_asof(events_pd, feats_pd, tolerance=None):
+    left = events_pd.sort_values("ts", kind="stable")
+    right = feats_pd.sort_values("feature_ts", kind="stable")[["user_id", "feature_ts", "fval"]]
+    out = pd.merge_asof(
+        left,
+        right,
+        left_on="ts",
+        right_on="feature_ts",
+        by="user_id",
+        direction="backward",
+        tolerance=pd.Timedelta(seconds=tolerance) if tolerance else None,
+    )
+    return out.sort_values("event_id", ignore_index=True)
+
+
+def _check_against_oracle(got_df, events_pd, feats_pd, tolerance=None):
+    got = got_df.select("event_id", "ts", "user_id", "fval", "matched_feature_ts").toPandas()
+    got = got.sort_values("event_id", ignore_index=True)
+    exp = _oracle_asof(events_pd, feats_pd, tolerance)
+    assert len(got) == len(exp)
+    assert np.allclose(got["fval"].to_numpy(), exp["fval"].to_numpy(), equal_nan=True)
+    gm = got["matched_feature_ts"]
+    em = exp["feature_ts"]
+    assert gm.isna().equals(em.isna())
+    assert (gm.dropna().to_numpy() == em.dropna().to_numpy()).all()
+    # zero temporal leakage
+    ok = got["matched_feature_ts"].isna() | (got["matched_feature_ts"] <= got["ts"])
+    assert ok.all(), "temporal leakage detected"
+
+
+def test_asof_union(events, feats, events_pd, feats_pd):
+    out = asof_join(events, feats, on="user_id", left_ts="ts", right_ts="feature_ts",
+                    value_cols=["fval"])
+    _check_against_oracle(out, events_pd, feats_pd)
+
+
+def test_asof_union_salted(events, feats, events_pd, feats_pd):
+    out = asof_join(events, feats, on="user_id", left_ts="ts", right_ts="feature_ts",
+                    value_cols=["fval"], salt_buckets=4)
+    _check_against_oracle(out, events_pd, feats_pd)
+
+
+def test_asof_merge_strategy(events, feats, events_pd, feats_pd):
+    out = asof_join(events, feats, on="user_id", left_ts="ts", right_ts="feature_ts",
+                    value_cols=["fval"], strategy="merge_asof")
+    _check_against_oracle(out, events_pd, feats_pd)
+
+
+def test_asof_tolerance(events, feats, events_pd, feats_pd):
+    tol = 3 * 86400.0
+    out = asof_join(events, feats, on="user_id", left_ts="ts", right_ts="feature_ts",
+                    value_cols=["fval"], tolerance_sec=tol)
+    _check_against_oracle(out, events_pd, feats_pd, tolerance=tol)
+
+
+def test_asof_exact_match_included(spark):
+    # exact-timestamp feature must match (allow_exact_matches semantics)
+    lt = spark.createDataFrame(
+        pd.DataFrame({"user_id": [1], "ts": [pd.Timestamp("2026-01-02")], "event_id": [0]})
+    )
+    rt = spark.createDataFrame(
+        pd.DataFrame(
+            {"user_id": [1, 1], "feature_ts": [pd.Timestamp("2026-01-02"), pd.Timestamp("2026-01-01")],
+             "fval": [2.0, 1.0]}
+        )
+    )
+    out = asof_join(lt, rt, on="user_id", left_ts="ts", right_ts="feature_ts").collect()
+    assert out[0]["fval"] == 2.0
+
+
+def test_lag_lead(events, events_pd):
+    out = lag_lead(events, "user_id", "ts", "value", lags=(1, 2), leads=(1,))
+    got = out.select("event_id", "value_lag1", "value_lag2", "value_lead1").toPandas()
+    got = got.sort_values("event_id", ignore_index=True)
+    g = events_pd.sort_values(["user_id", "ts"], kind="stable").groupby("user_id")["value"]
+    exp = events_pd.sort_values(["user_id", "ts"], kind="stable").assign(
+        l1=g.shift(1), l2=g.shift(2), f1=g.shift(-1)
+    ).sort_values("event_id", ignore_index=True)
+    for a, b in [("value_lag1", "l1"), ("value_lag2", "l2"), ("value_lead1", "f1")]:
+        assert np.allclose(got[a].to_numpy(), exp[b].to_numpy(), equal_nan=True)
+
+
+def test_fill_forward(spark):
+    pdf = pd.DataFrame(
+        {
+            "u": [1, 1, 1, 1, 2, 2],
+            "t": pd.to_datetime(
+                ["2026-01-01", "2026-01-02", "2026-01-03", "2026-01-04", "2026-01-01", "2026-01-02"]
+            ),
+            "v": [1.0, None, None, 4.0, None, 5.0],
+        }
+    )
+    out = fill_forward(spark.createDataFrame(pdf), "u", "t", ["v"])
+    got = out.orderBy("u", "t").toPandas()["v"].tolist()
+    exp = pdf.sort_values(["u", "t"]).groupby("u")["v"].ffill().tolist()
+    assert got == pytest.approx(exp, nan_ok=True)
+
+
+def test_sessionize(events, events_pd):
+    gap = 6 * 3600.0
+    out = sessionize(events, "user_id", "ts", gap_sec=gap)
+    got = out.select("event_id", "session_id").toPandas().sort_values("event_id", ignore_index=True)
+    e = events_pd.sort_values(["user_id", "ts"], kind="stable")
+    gaps = e.groupby("user_id")["ts"].diff().dt.total_seconds()
+    boundary = gaps.isna() | (gaps > gap)
+    exp = e.assign(sid=boundary.groupby(e["user_id"]).cumsum() - 1).sort_values(
+        "event_id", ignore_index=True
+    )
+    assert got["session_id"].tolist() == exp["sid"].astype(int).tolist()
+
+
+def test_asof_skew_entity(spark, feats, feats_pd):
+    # hot entity: 500 probe rows on one user — salted and unsalted agree
+    probe = pd.DataFrame(
+        {
+            "event_id": np.arange(500),
+            "user_id": np.zeros(500, dtype=np.int64),
+            "ts": pd.Timestamp("2026-01-01") + pd.to_timedelta(np.arange(500) * 97, unit="m"),
+        }
+    )
+    lt = spark.createDataFrame(probe)
+    a = asof_join(lt, feats, on="user_id", left_ts="ts", right_ts="feature_ts",
+                  value_cols=["fval"]).toPandas().sort_values("event_id", ignore_index=True)
+    b = asof_join(lt, feats, on="user_id", left_ts="ts", right_ts="feature_ts",
+                  value_cols=["fval"], salt_buckets=8).toPandas().sort_values(
+        "event_id", ignore_index=True
+    )
+    assert np.allclose(a["fval"].to_numpy(), b["fval"].to_numpy(), equal_nan=True)
+    exp = _oracle_asof(probe, feats_pd)
+    assert np.allclose(a["fval"].to_numpy(), exp["fval"].to_numpy(), equal_nan=True)

@@ -1,0 +1,145 @@
+"""Ragged/token-sequence operators over ``ArrayType`` columns.
+
+The reference represents ragged sequences as a flat value buffer plus
+(begin, end) slice offsets (/root/reference/src/torchestra/
+_sparse_slices.py:5-23).  Spark's ``ArrayType`` stores arrays in Arrow
+exactly that way (values + offsets), so the engine's native ragged type
+IS the reference's sparse representation — ``tokens:array<int32>`` in
+the driver's input_hint table.  Every op below is a pure Catalyst array
+expression (whole-stage codegen, no Python), except the generic
+``SparseMapSequences`` fallback which is an Arrow-batched pandas UDF.
+
+Parity targets (exact equality): test_sparse_slices.py:14-84.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Union
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from torchestra_spark.core import Transform
+
+
+class SparseLen(Transform):
+    """Per-row sequence length (end - begin) — _sparse_slices.py:63-69.
+    On ArrayType this is ``size()`` (== the n_tok column invariant)."""
+
+    def expr(self, col: Column) -> Column:
+        return F.size(col)
+
+
+class SparseTrunc(Transform):
+    """Truncate each sequence to at most `length` — _sparse_slices.py:72-87
+    (offset arithmetic ``end = min(begin+len, end)``, :26-42; on ArrayType
+    a slice)."""
+
+    def __init__(self, length: int):
+        self.length = int(length)
+
+    def expr(self, col: Column) -> Column:
+        return F.slice(col, 1, self.length)
+
+
+# API parity: in the offsets representation SparseTruncIndices is the
+# offsets half of SparseTrunc (_sparse_slices.py:26-42); with ArrayType
+# the offsets are implicit, so both collapse to the same slice.
+SparseTruncIndices = SparseTrunc
+
+
+class SparseValues(Transform):
+    """Project the flat value buffer — _sparse_slices.py:45-51.  On
+    ArrayType the array column *is* (values, offsets); identity here,
+    with ``flatten_values`` below for an exploded flat view."""
+
+    def expr(self, col: Column) -> Column:
+        return col
+
+
+class SparseTruncPad(Transform):
+    """Truncate then right-pad each sequence to exactly `length` —
+    _sparse_slices.py:90-114 (golden: test_sparse_slices.py:63-70).
+
+    ``elem_type`` is the Spark element type used to cast the pad value
+    (the reference infers it from the tensor dtype).
+    """
+
+    def __init__(self, length: int, value: Union[int, float] = 0, elem_type: str = "int"):
+        self.length = int(length)
+        self.value = value
+        self.elem_type = elem_type
+
+    def expr(self, col: Column) -> Column:
+        trunc = F.slice(col, 1, self.length)
+        pad_n = F.greatest(F.lit(0), F.lit(self.length) - F.size(trunc))
+        pad = F.array_repeat(F.lit(self.value).cast(self.elem_type), pad_n)
+        return F.concat(trunc, pad)
+
+
+class SparseMapSequences(Transform):
+    """Map a reducer over each row's sequence — _sparse_slices.py:117-133
+    (golden: per-row sums, test_sparse_slices.py:73-84).
+
+    Built-in reducers ('sum', 'mean', 'min', 'max', 'count') compile to
+    Catalyst higher-order functions (aggregate/array_min/...) — JVM-side,
+    no Python.  An arbitrary ``numpy`` callable falls back to an
+    Arrow-batched pandas UDF (the reference's own implementation is a
+    per-row python loop; ours at least batches the Arrow transfer).
+    """
+
+    def __init__(
+        self,
+        reducer: Union[str, Callable[[np.ndarray], float]] = "sum",
+        out_type: str = "double",
+    ):
+        self.reducer = reducer
+        self.out_type = out_type
+
+    def expr(self, col: Column) -> Column:
+        r = self.reducer
+        if r == "sum":
+            return F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+        if r == "mean":
+            total = F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+            return F.when(F.size(col) > 0, total / F.size(col))
+        if r == "min":
+            return F.array_min(col)
+        if r == "max":
+            return F.array_max(col)
+        if r == "count":
+            return F.size(col)
+        if callable(r):
+            fn = r
+            out_type = self.out_type
+
+            @F.pandas_udf(out_type)
+            def _map(s: pd.Series) -> pd.Series:
+                return s.map(lambda a: fn(np.asarray(a)) if a is not None else None)
+
+            return _map(col)
+        raise ValueError(f"unknown reducer {r!r}")
+
+
+# ------------------------------------------------------------------ helpers
+def flatten_values(df: DataFrame, array_col: str, keep: Optional[list] = None) -> DataFrame:
+    """Exploded flat view of (row keys, position, value) — the reference's
+    values-buffer view, distributed (no global offsets needed)."""
+    keep = keep or []
+    return df.select(*keep, F.posexplode(array_col).alias("pos", "value"))
+
+
+def with_offsets(df: DataFrame, array_col: str, order_col: str) -> DataFrame:
+    """Materialize the reference's (begin, end) global offsets
+    (_sparse_slices.py:5-23) relative to `order_col` ordering.
+
+    NOTE: global offsets require a total order — a single-partition
+    running sum.  Only meaningful for small exports / golden tests; at
+    scale keep sequences as arrays (offsets stay implicit per Arrow
+    batch).
+    """
+    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
+    begin = F.coalesce(F.sum(F.size(array_col)).over(w), F.lit(0))
+    return df.withColumn("begin", begin).withColumn("end", begin + F.size(array_col))

@@ -1,0 +1,278 @@
+"""Point-in-time / temporal operators — the north-rule core.
+
+The reference library has no temporal ops (its lookups are the only
+join-like construct, /root/reference/src/torchestra/_lookups.py); these
+extend its fit/transform engine into a point-in-time feature store over
+entity x timestamp data, per the driver's north rule: as-of join with
+explicit skew handling, lag/lead, fill-forward backfill, gap-based
+sessionization — zero temporal leakage (every joined feature_ts <=
+event ts).
+
+Scale design notes
+------------------
+* ``asof_join`` default strategy is **union + window fill-forward**:
+  one shuffle on the entity key, fully JVM-side (whole-stage codegen +
+  a single window scan), no UDF.  At 1000 executors this is a plain
+  hash-partitioned sort — the same cost profile as a sort-merge join.
+* The ``merge_asof`` strategy co-partitions both sides by entity hash
+  and runs ``pandas.merge_asof`` per partition inside ``applyInPandas``
+  — useful when the probe side must keep all its columns wide.
+* Skew: a single hot entity lands in one window partition.  The
+  ``salt_buckets`` option splits each entity's *probe* rows into N
+  hash(ts)-buckets and replicates the (much smaller) feature side into
+  every bucket — preserving point-in-time order within each bucket
+  while spreading the hot entity over N tasks.  AQE's skew-join
+  splitting handles residual imbalance.
+* Window ops (lag/lead/ffill/sessionize) are single-shuffle Catalyst
+  window functions partitioned by entity.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _ts_sec(col: Column) -> Column:
+    """Timestamp -> epoch seconds (double).  TIMESTAMP_NTZ can't cast to
+    numeric in Spark 4; route through TIMESTAMP (lossless under the
+    engine's UTC session timezone, see session.py)."""
+    return col.cast("timestamp").cast("double")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "feature_ts",
+    value_cols: Optional[Sequence[str]] = None,
+    tolerance_sec: Optional[float] = None,
+    strategy: str = "union",
+    salt_buckets: int = 1,
+    keep_right_ts: bool = True,
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the latest right
+    row of the same entity with ``right_ts <= left_ts`` (exact matches
+    allowed — pandas ``merge_asof`` semantics).
+
+    Leakage-free by construction: joined values only ever come from
+    right rows at or before the probe timestamp.
+    """
+    value_cols = list(
+        value_cols
+        if value_cols is not None
+        else [c for c in right.columns if c not in (on, right_ts)]
+    )
+    if strategy == "union":
+        return _asof_union(
+            left, right, on, left_ts, right_ts, value_cols, tolerance_sec, salt_buckets, keep_right_ts
+        )
+    if strategy == "merge_asof":
+        return _asof_merge(
+            left, right, on, left_ts, right_ts, value_cols, tolerance_sec, keep_right_ts
+        )
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def _asof_union(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: List[str],
+    tolerance_sec: Optional[float],
+    salt_buckets: int,
+    keep_right_ts: bool,
+) -> DataFrame:
+    """Union-tag + fill-forward: one shuffle, no UDF.
+
+    Both sides are unioned on a common (entity, ts) spine with a side
+    tag; within each entity ordered by (ts, side) — feature rows sort
+    *before* probe rows at equal ts so exact matches are visible — a
+    ``last(value, ignorenulls=True)`` running window carries each
+    feature value forward onto probe rows.
+    """
+    ts = "__ts"
+    side = "__side"  # 0 = feature (sorts first at ties), 1 = probe
+    l_cols = left.columns
+
+    salted = salt_buckets > 1
+    bucket = "__bucket"
+    l_sel = [F.col(c) for c in l_cols]
+    lhs = left.select(
+        *l_sel,
+        F.col(left_ts).alias(ts),
+        F.lit(1).alias(side),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__matched_ts"),
+    )
+    rhs = right.select(
+        *[
+            (F.col(on) if c == on else F.lit(None).cast(left.schema[c].dataType)).alias(c)
+            for c in l_cols
+        ],
+        F.col(right_ts).alias(ts),
+        F.lit(0).alias(side),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.col(right_ts).alias("__matched_ts"),
+    )
+    if salted:
+        # probe rows route to hash(ts) % N buckets; each feature row is
+        # replicated into all N buckets, so every bucket sees the full
+        # feature history and point-in-time order is preserved
+        lhs = lhs.withColumn(bucket, F.pmod(F.xxhash64(F.col(ts)), F.lit(salt_buckets)))
+        rhs = rhs.withColumn(
+            bucket, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<bigint>"))
+        )
+        part = [on, bucket]
+    else:
+        part = [on]
+
+    u = lhs.unionByName(rhs)
+    w = Window.partitionBy(*part).orderBy(F.col(ts).asc(), F.col(side).asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    filled = u.select(
+        *l_cols,
+        F.col(ts),
+        F.col(side),
+        *[F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w).alias(f"__f_{c}") for c in value_cols],
+        F.last(F.col("__matched_ts"), ignorenulls=True).over(w).alias("__f_ts"),
+    )
+    out = filled.filter(F.col(side) == 1)
+    if tolerance_sec is not None:
+        in_tol = F.col("__f_ts").isNotNull() & (
+            _ts_sec(F.col(ts)) - _ts_sec(F.col("__f_ts")) <= F.lit(float(tolerance_sec))
+        )
+        out = out.select(
+            *l_cols,
+            *[F.when(in_tol, F.col(f"__f_{c}")).alias(c) for c in value_cols],
+            F.when(in_tol, F.col("__f_ts")).alias("__f_ts"),
+        )
+    else:
+        out = out.select(
+            *l_cols, *[F.col(f"__f_{c}").alias(c) for c in value_cols], F.col("__f_ts")
+        )
+    if keep_right_ts:
+        out = out.withColumnRenamed("__f_ts", f"matched_{right_ts}")
+    else:
+        out = out.drop("__f_ts")
+    return out
+
+
+def _asof_merge(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: List[str],
+    tolerance_sec: Optional[float],
+    keep_right_ts: bool,
+) -> DataFrame:
+    """Co-partition by entity + per-partition ``pandas.merge_asof``
+    (Arrow-batched, vectorized — no per-row Python).
+
+    Partition-boundary-correct because partitioning is on the entity
+    key only (never on time), so an entity's full feature history is
+    visible to its probe rows.
+    """
+    l_cols = left.columns
+    rv = right.select(
+        F.col(on), F.col(right_ts), *[F.col(c) for c in value_cols]
+    ).withColumnRenamed(right_ts, "__rts")
+    lt = left.withColumn("__side", F.lit(1))
+    rt = rv.withColumn("__side", F.lit(0))
+    # single cogroup-style shuffle: tag and union, group by entity
+    merged_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in left.schema.fields]
+        + [f"`{c}` {right.schema[c].dataType.simpleString()}" for c in value_cols]
+        + [f"`matched_{right_ts}` {right.schema[right_ts].dataType.simpleString()}"]
+    )
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(columns=l_cols + value_cols + [f"matched_{right_ts}"])
+        lpdf = lpdf.sort_values(left_ts, kind="stable")
+        rpdf = rpdf.sort_values("__rts", kind="stable")[["__rts"] + value_cols]
+        out = pd.merge_asof(
+            lpdf,
+            rpdf,
+            left_on=left_ts,
+            right_on="__rts",
+            direction="backward",
+            tolerance=pd.Timedelta(seconds=tolerance_sec) if tolerance_sec is not None else None,
+        )
+        out = out.rename(columns={"__rts": f"matched_{right_ts}"})
+        return out[l_cols + value_cols + [f"matched_{right_ts}"]]
+
+    out = (
+        lt.groupBy(on)
+        .cogroup(rt.groupBy(on))
+        .applyInPandas(lambda lp, rp: merge(lp, rp), merged_schema)
+    )
+    if not keep_right_ts:
+        out = out.drop(f"matched_{right_ts}")
+    return out
+
+
+# --------------------------------------------------------------- window ops
+def _order_cols(ts):
+    return [ts] if isinstance(ts, str) else list(ts)
+
+
+def lag_lead(
+    df: DataFrame,
+    entity: str,
+    ts,
+    col: str,
+    lags: Sequence[int] = (1,),
+    leads: Sequence[int] = (),
+) -> DataFrame:
+    """lag/lead features per entity ordered by ts (SURVEY.md §2.8).
+    ``ts`` may be a list of columns for deterministic tiebreaks."""
+    w = Window.partitionBy(entity).orderBy(*_order_cols(ts))
+    for k in lags:
+        df = df.withColumn(f"{col}_lag{k}", F.lag(col, k).over(w))
+    for k in leads:
+        df = df.withColumn(f"{col}_lead{k}", F.lead(col, k).over(w))
+    return df
+
+
+def fill_forward(df: DataFrame, entity: str, ts, cols: Sequence[str]) -> DataFrame:
+    """Backfill nulls with the latest prior non-null value per entity."""
+    w = (
+        Window.partitionBy(entity)
+        .orderBy(*_order_cols(ts))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumns({c: F.last(F.col(c), ignorenulls=True).over(w) for c in cols})
+
+
+def sessionize(
+    df: DataFrame,
+    entity: str,
+    ts,
+    gap_sec: float,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time
+    since the previous event of the same entity exceeds ``gap_sec``.
+    Session ids are 0-based per entity (cumulative sum of boundaries).
+    ``ts`` may be a list of columns (first must be the timestamp)."""
+    order = _order_cols(ts)
+    tcol = order[0]
+    w = Window.partitionBy(entity).orderBy(*order)
+    gap = _ts_sec(F.col(tcol)) - F.lag(_ts_sec(F.col(tcol))).over(w)
+    boundary = F.when(gap.isNull() | (gap > F.lit(float(gap_sec))), 1).otherwise(0)
+    run = (
+        Window.partitionBy(entity)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(session_col, F.sum(boundary).over(run) - F.lit(1))

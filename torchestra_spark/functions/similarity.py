@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* **cosine / dot** — Catalyst higher-order functions (zip_with +
+  aggregate): JVM-side, no UDF, fine for scoring against a literal
+  query vector.
+* **brute_force_topk** — exact baseline: score every row, global top-k
+  (`orderBy ... limit k` compiles to a distributed TakeOrdered — no full
+  sort).
+* **lsh_buckets / ann_topk** — the scale path: random-hyperplane
+  signatures (one numpy matmul per Arrow batch), probe only the query's
+  bucket (+ optional multi-probe neighbors), exact re-rank inside.
+  Recall/latency tuned by n_planes and n_probes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    d = dot(a, b)
+    n = norm(a) * norm(b)
+    return F.when(n > 0, d / n).otherwise(0.0)
+
+
+def _lit_vec(v: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def brute_force_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector.  The
+    orderBy+limit compiles to TakeOrderedAndProject — each partition
+    keeps only its local top-k, no global sort."""
+    q = _lit_vec(query)
+    scored = df.withColumn("cos_sim", cosine(F.col(vec_col), q))
+    return scored.select(id_col, "cos_sim").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    ).limit(k)
+
+
+# ------------------------------------------------------------------- LSH ANN
+def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(dim, n_planes).astype(np.float64)
+
+
+def lsh_buckets(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 42,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane bucket id per row: sign pattern of X @ P packed
+    into an int.  One numpy matmul per Arrow batch."""
+    P = _planes(dim, n_planes, seed)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf("bigint")
+    def _bucket(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype="int64")
+        X = np.stack(s.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+        bits = (X @ P) > 0
+        return pd.Series(bits @ weights, index=s.index)
+
+    return df.withColumn(out_col, _bucket(F.col(vec_col)))
+
+
+def _bucket_of(query: np.ndarray, P: np.ndarray, weights: np.ndarray) -> int:
+    return int(((query @ P) > 0) @ weights)
+
+
+def ann_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    n_planes: int = 16,
+    n_probes: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: probe the query's hyperplane bucket (and the
+    ``n_probes-1`` single-bit-flip neighbor buckets), exact cosine
+    re-rank inside.  Scans only matching buckets — with a bucketed /
+    partitioned layout this prunes at the scan."""
+    q = np.asarray(list(query), dtype=np.float64)
+    P = _planes(len(q), n_planes, seed)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+    base = _bucket_of(q, P, weights)
+    probes: List[int] = [base]
+    if n_probes > 1:
+        margins = np.abs(q @ P)  # closest planes first: likeliest flips
+        for i in np.argsort(margins)[: n_probes - 1]:
+            probes.append(base ^ (1 << int(i)))
+    bucketed = lsh_buckets(df, vec_col, len(q), n_planes, seed)
+    cand = bucketed.filter(F.col("bucket").isin(probes))
+    return brute_force_topk(cand, vec_col, list(q), k=k, id_col=id_col)
+
+
+def pairwise_topk_per_row(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """All-rows ANN: bucket once, self-join within buckets, per-row
+    top-k neighbors by cosine (window over bucket-join candidates)."""
+    from pyspark.sql import Window
+
+    b = lsh_buckets(df, vec_col, _infer_dim(df, vec_col), n_planes, seed).select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "bucket"
+    )
+    l, r = b.alias("l"), b.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.__id") != F.col("r.__id")),
+    ).select(
+        F.col("l.__id").alias("id_a"),
+        F.col("r.__id").alias("id_b"),
+        cosine(F.col("l.__v"), F.col("r.__v")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("cos_sim").desc(), F.col("id_b").asc())
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(vec_col).alias("d")).first()
+    return int(row["d"])

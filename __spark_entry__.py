@@ -271,6 +271,19 @@ def _q_asof_join_merge_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # broadcast-history strategy (small feature side -> zero probe shuffle)
+    ev = _t(spark, sf_dir, "events")
+    feats = _purchase_features(spark, sf_dir)
+    out = asof_join(ev, feats, on="user_id", left_ts="ts", right_ts="feature_ts",
+                    value_cols=["fval"], strategy="broadcast")
+    return out.select(
+        "event_id", "user_id",
+        F.round(F.col("fval"), 6).alias("fval"),
+        F.col("matched_feature_ts").alias("matched_ts"),
+    )
+
+
 def _q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     feats = _purchase_features(spark, sf_dir)
@@ -512,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "asof_join_salted": _q_asof_join_salted,
         "asof_join_merge_strategy": _q_asof_join_merge_strategy,
+        "asof_join_broadcast": _q_asof_join_broadcast,
         "asof_join_tolerance": _q_asof_join_tolerance,
         "lag_lead": _q_lag_lead,
         "fill_forward": _q_fill_forward,
@@ -668,6 +682,16 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN f ON e.user_id = f.user_id AND e.ts >= f.feature_ts
         """,
         "asof_join_merge_strategy": """
+            WITH f AS (
+                SELECT user_id, ts AS feature_ts, MAX(value) AS fval
+                FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+            )
+            SELECT e.event_id, e.user_id,
+                   ROUND(f.fval, 6) AS fval, f.feature_ts AS matched_ts
+            FROM events e
+            ASOF LEFT JOIN f ON e.user_id = f.user_id AND e.ts >= f.feature_ts
+        """,
+        "asof_join_broadcast": """
             WITH f AS (
                 SELECT user_id, ts AS feature_ts, MAX(value) AS fval
                 FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts

@@ -1,0 +1,211 @@
+"""Benchmark harness — prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline metric: sequences/sec through the north-rule as-of join over
+the tokenized-sequences table (probe side = tokenized docs with
+entity/timestamp, feature side = per-entity random-walk features),
+measured end-to-end (shuffle + window + noop sink).
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_ROWS (tokenized probe
+rows, default 2,000,000), SPARK_GRAFT_BENCH_QUERIES (comma list subset).
+
+Scaling-efficiency evidence (N vs 4N cores) lives in bench_scaling.py,
+which shells out to this file once per parallelism level.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from torchestra_spark import (  # noqa: E402
+    Clamp,
+    Feature,
+    IndexLookup,
+    MinMaxScale,
+    NanToNum,
+    Pipeline,
+    RobustScale,
+    StandardScore,
+    TDigestDistribution,
+)
+from torchestra_spark.io.sources import feature_events, tokenized_sequences  # noqa: E402
+from torchestra_spark.operators.sequences import SparseMapSequences, SparseTruncPad  # noqa: E402
+from torchestra_spark.operators.temporal import asof_join, lag_lead, sessionize  # noqa: E402
+from torchestra_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_SEQ = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "2000000"))
+N_ENTITIES = int(os.environ.get("SPARK_GRAFT_BENCH_ENTITIES", "20000"))
+BENCH_DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_benchdata")
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _ensure_bench_tables(spark):
+    """Materialize the synthetic tokenized/feature tables once (parquet),
+    so benchmarks measure the engine, not the generator."""
+    tok_path = os.path.join(BENCH_DATA, f"tokenized_{N_SEQ}")
+    feat_path = os.path.join(BENCH_DATA, f"features_{N_ENTITIES}")
+    if not os.path.exists(os.path.join(tok_path, "_SUCCESS")):
+        toks = tokenized_sequences(spark, N_SEQ, seed=42, partitions=CPUS * 2)
+        # attach entity/timestamp for point-in-time benchmarks:
+        # deterministic hash spread over entities / 30 days
+        toks = toks.withColumn(
+            "user_id", F.pmod(F.xxhash64("doc_id"), F.lit(N_ENTITIES))
+        ).withColumn(
+            "ts",
+            F.timestamp_seconds(
+                F.lit(1767225600)  # 2026-01-01
+                + F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(30 * 86400))
+            ),
+        )
+        toks.write.mode("overwrite").parquet(tok_path)
+    if not os.path.exists(os.path.join(feat_path, "_SUCCESS")):
+        feature_events(
+            spark, n_entities=N_ENTITIES, mean_events=10.0, seed=7, partitions=CPUS
+        ).write.mode("overwrite").parquet(feat_path)
+    return spark.read.parquet(tok_path), spark.read.parquet(feat_path)
+
+
+def bench_queries(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    doc = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks, feats = _ensure_bench_tables(spark)
+
+    def q_asof_tokenized():
+        out = asof_join(
+            toks, feats, on="user_id", left_ts="ts", right_ts="feature_ts",
+            value_cols=["fval"],
+        )
+        _noop(out)
+
+    def q_asof_salted():
+        out = asof_join(
+            toks, feats, on="user_id", left_ts="ts", right_ts="feature_ts",
+            value_cols=["fval"], salt_buckets=4,
+        )
+        _noop(out)
+
+    def q_asof_broadcast():
+        out = asof_join(
+            toks, feats, on="user_id", left_ts="ts", right_ts="feature_ts",
+            value_cols=["fval"], strategy="broadcast",
+        )
+        _noop(out)
+
+    def q_window_suite():
+        out = lag_lead(toks, "user_id", ["ts", "doc_id"], "n_tok", lags=(1,), leads=(1,))
+        out = sessionize(out, "user_id", ["ts", "doc_id"], gap_sec=3600.0)
+        _noop(out)
+
+    def q_scaler_fit_transform():
+        pipe = Pipeline(
+            {
+                "price_z": Feature("l_extendedprice", [StandardScore(), NanToNum(), Clamp(-4.0, 4.0)]),
+                "qty_mm": Feature("l_quantity", [MinMaxScale()]),
+            }
+        )
+        _noop(pipe.fit_transform(li))
+
+    def q_tdigest_fit_transform():
+        pipe = Pipeline(
+            {
+                "price_q": Feature("l_extendedprice", [TDigestDistribution()]),
+                "disc_r": Feature("l_discount", [RobustScale()]),
+            }
+        )
+        _noop(pipe.fit_transform(li))
+
+    def q_vocab_fit_transform():
+        pipe = Pipeline(
+            {
+                "flag_idx": Feature("l_returnflag", [IndexLookup()]),
+                "status_idx": Feature("l_linestatus", [IndexLookup()]),
+            }
+        )
+        _noop(pipe.fit_transform(li))
+
+    def q_sequence_ops():
+        pipe = Pipeline(
+            {
+                "padded": Feature("tokens", [SparseTruncPad(64, 0, "int")]),
+                "tok_sum": Feature("tokens", [SparseMapSequences("sum")]),
+            }
+        )
+        _noop(pipe.fit_transform(toks))
+
+    def q_minhash_dedup():
+        from torchestra_spark.functions.dedup import minhash_dedup
+
+        _noop(minhash_dedup(doc, "text", "doc_id", k=64, bands=16, shingle_n=2, threshold=0.5))
+
+    def q_sessionize_events():
+        _noop(sessionize(ev, "user_id", ["ts", "event_id"], gap_sec=3600.0))
+
+    return {
+        "asof_tokenized": q_asof_tokenized,
+        "asof_salted": q_asof_salted,
+        "asof_broadcast": q_asof_broadcast,
+        "window_suite": q_window_suite,
+        "scaler_fit_transform": q_scaler_fit_transform,
+        "tdigest_fit_transform": q_tdigest_fit_transform,
+        "vocab_fit_transform": q_vocab_fit_transform,
+        "sequence_ops": q_sequence_ops,
+        "minhash_dedup": q_minhash_dedup,
+        "sessionize_events": q_sessionize_events,
+    }
+
+
+def main() -> None:
+    only = [s for s in os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").split(",") if s]
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "1"))
+    # 4 shuffle partitions per core: keeps each window-sort small enough
+    # to stay in memory and lets AQE coalesce the rest
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS * 4)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = bench_queries(spark)
+    timings = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        best = None
+        for _ in range(iters):
+            fn_t0 = time.time()
+            fn()
+            dt = time.time() - fn_t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+    asof_sec = timings.get("asof_tokenized")
+    seq_per_sec = round(N_SEQ / asof_sec, 1) if asof_sec else None
+    print(
+        json.dumps(
+            {
+                "metric": "total bench wall time (headline: asof-join over "
+                f"{N_SEQ}-row tokenized table, {N_ENTITIES} entities, local[{CPUS}])",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+                "rows": N_SEQ,
+                "sequences_per_sec": seq_per_sec,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,153 @@
+"""FitPlanner structural tests — mirror the reference StatsPlan tests
+(/root/reference/src/torchestra/test_stats_plan.py:63-264): exact
+dependency maps, wave membership, stats-behind-stats chains, plus a
+staged E2E fit with hand-derived expectations (:267-355)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from torchestra_spark import Feature, MinMaxScale, Pipeline, StandardScore
+from torchestra_spark.core import FitKind, FittedTransform
+
+
+class AddTotal(FittedTransform):
+    """Test op like the reference tests' TotalAdder: fit the column sum,
+    transform x + total (a stats op whose output feeds later stats)."""
+
+    fit_kind = FitKind.SCALAR_AGG
+
+    def __init__(self):
+        super().__init__()
+        self.total = 0.0
+
+    def fit_aggs(self, col: Column):
+        return {"total": F.sum(col.cast("double"))}
+
+    def fit_finalize(self, stats):
+        self.total = float(stats["total"])
+        self._fitted = True
+
+    def expr(self, col: Column) -> Column:
+        self._require_fitted()
+        return col.cast("double") + F.lit(self.total)
+
+    def get_state(self):
+        return {"total": self.total}
+
+    def set_state(self, state):
+        self.total = float(state["total"])
+        self._fitted = True
+
+
+@pytest.fixture(scope="module")
+def sdf(spark):
+    return spark.createDataFrame(
+        pd.DataFrame({"x": [1.0, 2.0, 3.0, 4.0], "y": [10.0, 20.0, 30.0, 40.0]})
+    ).cache()
+
+
+def test_parallel_branches_one_wave(sdf):
+    # two independent branches from the same input fit in one wave
+    # (Parallel semantics, _stats_plan.py:29-33)
+    pipe = Pipeline(
+        {
+            "a": Feature("x", [AddTotal()]),
+            "b": Feature("x", [AddTotal()]),
+        }
+    )
+    assert pipe.dependencies == {"a.0": set(), "b.0": set()}
+    assert pipe.waves == [["a.0", "b.0"]]
+
+
+def test_sequential_chain_accumulates_deps(sdf):
+    # deps accumulate left->right within a chain (_stats_plan.py:35-38)
+    pipe = Pipeline({"a": Feature("x", [AddTotal(), AddTotal(), AddTotal()])})
+    assert pipe.dependencies == {
+        "a.0": set(),
+        "a.1": {"a.0"},
+        "a.2": {"a.0", "a.1"},
+    }
+    assert pipe.waves == [["a.0"], ["a.1"], ["a.2"]]
+
+
+def test_cross_feature_chain(sdf):
+    # feature rooted at another feature inherits its stats deps
+    pipe = Pipeline(
+        {
+            "a": Feature("x", [AddTotal()]),
+            "b": Feature("a", [AddTotal()]),
+            "c": Feature("b", [AddTotal()]),
+            "d": Feature("x", [AddTotal()]),  # parallel to a: wave 0
+        }
+    )
+    assert pipe.dependencies["b.0"] == {"a.0"}
+    assert pipe.dependencies["c.0"] == {"a.0", "b.0"}
+    assert pipe.waves == [["a.0", "d.0"], ["b.0"], ["c.0"]]
+
+
+def test_mixed_stateless_ops_not_in_plan(sdf):
+    from torchestra_spark import Clamp, NanToNum
+
+    pipe = Pipeline(
+        {"a": Feature("x", [NanToNum(), AddTotal(), Clamp(0.0, 1e9), AddTotal()])}
+    )
+    assert set(pipe.dependencies) == {"a.1", "a.3"}
+    assert pipe.waves == [["a.1"], ["a.3"]]
+
+
+def test_e2e_staged_fit_hand_derived(sdf):
+    # E2E with hand-derived expectations (test_stats_plan.py:267-355
+    # pattern): x=[1..4] sum=10 -> a = x+10; sum(a)=50 -> b = a+50
+    pipe = Pipeline({"a": Feature("x", [AddTotal()]), "b": Feature("a", [AddTotal()])})
+    out = pipe.fit_transform(sdf)
+    a_op = pipe.features["a"].ops[0]
+    b_op = pipe.features["b"].ops[0]
+    assert a_op.total == 10.0
+    assert b_op.total == 10 + 10 * 4 == 50.0
+    rows = out.orderBy("x").collect()
+    assert [r["a"] for r in rows] == [11.0, 12.0, 13.0, 14.0]
+    assert [r["b"] for r in rows] == [61.0, 62.0, 63.0, 64.0]
+
+
+def test_wave_batches_one_agg_job(sdf, monkeypatch):
+    # all SCALAR_AGG ops of a wave must share ONE df.agg call
+    calls = []
+    orig = Pipeline._fit_scalar
+
+    def spy(df, ops):
+        calls.append(len(ops))
+        return orig(df, ops)
+
+    monkeypatch.setattr(Pipeline, "_fit_scalar", staticmethod(spy))
+    pipe = Pipeline(
+        {
+            "a": Feature("x", [StandardScore()]),
+            "b": Feature("x", [MinMaxScale()]),
+            "c": Feature("y", [StandardScore()]),
+        }
+    )
+    pipe.fit(sdf)
+    assert calls == [3]  # one wave, one shared agg over 3 ops
+
+
+def test_mixed_kind_wave(spark):
+    # scalar + vocab + sketch ops in one wave each get one batched job
+    from torchestra_spark import IndexLookup, TDigestDistribution
+
+    pdf = pd.DataFrame({"x": np.arange(100, dtype=np.float64), "k": ["a", "b"] * 50})
+    sdf = spark.createDataFrame(pdf)
+    pipe = Pipeline(
+        {
+            "z": Feature("x", [StandardScore()]),
+            "q": Feature("x", [TDigestDistribution(compression=100)]),
+            "i": Feature("k", [IndexLookup()]),
+        }
+    )
+    assert pipe.waves == [["z.0", "q.0", "i.0"]]
+    out = pipe.fit_transform(sdf)
+    r = out.orderBy("x").collect()
+    assert abs(r[50]["q"] - 0.5) < 0.05
+    assert r[0]["i"] in (2, 3)

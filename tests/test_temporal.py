@@ -169,3 +169,16 @@ def test_asof_skew_entity(spark, feats, feats_pd):
     assert np.allclose(a["fval"].to_numpy(), b["fval"].to_numpy(), equal_nan=True)
     exp = _oracle_asof(probe, feats_pd)
     assert np.allclose(a["fval"].to_numpy(), exp["fval"].to_numpy(), equal_nan=True)
+
+
+def test_asof_broadcast_strategy(events, feats, events_pd, feats_pd):
+    out = asof_join(events, feats, on="user_id", left_ts="ts", right_ts="feature_ts",
+                    value_cols=["fval"], strategy="broadcast")
+    _check_against_oracle(out, events_pd, feats_pd)
+
+
+def test_asof_broadcast_tolerance(events, feats, events_pd, feats_pd):
+    tol = 3 * 86400.0
+    out = asof_join(events, feats, on="user_id", left_ts="ts", right_ts="feature_ts",
+                    value_cols=["fval"], strategy="broadcast", tolerance_sec=tol)
+    _check_against_oracle(out, events_pd, feats_pd, tolerance=tol)

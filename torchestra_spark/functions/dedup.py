@@ -115,45 +115,42 @@ def lsh_candidate_pairs(
     """Band the signatures and self-join band buckets -> candidate pairs
     (id_a < id_b) with the estimated Jaccard from full signatures."""
     k = bands  # rows per band inferred from signature length at runtime
+    # bands carry only (id, bucket-hash): the wide signature arrays stay
+    # out of the bucket self-join shuffle; they're re-attached afterwards
+    # to the (much smaller) deduped pair set
     banded = sig_df.select(
         F.col(id_col).alias("__id"),
-        F.col(sig_col).alias("__sig"),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bnd: F.struct(
-                    bnd.alias("band"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.slice(
-                                F.col(sig_col),
-                                bnd * (F.size(sig_col) / k).cast("int") + 1,
-                                (F.size(sig_col) / k).cast("int"),
-                            ),
-                            ",",
-                        )
-                    ).alias("bucket"),
+                lambda bnd: F.xxhash64(
+                    bnd,
+                    F.array_join(
+                        F.slice(
+                            F.col(sig_col),
+                            bnd * (F.size(sig_col) / k).cast("int") + 1,
+                            (F.size(sig_col) / k).cast("int"),
+                        ),
+                        ",",
+                    ),
                 ),
             )
-        ).alias("bb"),
-    ).select("__id", "__sig", "bb.band", "bb.bucket")
+        ).alias("bucket"),
+    )
     l = banded.alias("l")
     r = banded.alias("r")
     pairs = (
         l.join(
             r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.__id") < F.col("r.__id")),
+            (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.__id") < F.col("r.__id")),
         )
-        .select(
-            F.col("l.__id").alias("id_a"),
-            F.col("r.__id").alias("id_b"),
-            F.col("l.__sig").alias("sig_a"),
-            F.col("r.__sig").alias("sig_b"),
-        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sigs = sig_df.select(F.col(id_col), F.col(sig_col))
+    pairs = pairs.join(
+        sigs.withColumnRenamed(id_col, "id_a").withColumnRenamed(sig_col, "sig_a"), "id_a"
+    ).join(sigs.withColumnRenamed(id_col, "id_b").withColumnRenamed(sig_col, "sig_b"), "id_b")
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),

@@ -75,6 +75,10 @@ def asof_join(
         return _asof_merge(
             left, right, on, left_ts, right_ts, value_cols, tolerance_sec, keep_right_ts
         )
+    if strategy == "broadcast":
+        return _asof_broadcast(
+            left, right, on, left_ts, right_ts, value_cols, tolerance_sec, keep_right_ts
+        )
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
@@ -219,6 +223,97 @@ def _asof_merge(
     if not keep_right_ts:
         out = out.drop(f"matched_{right_ts}")
     return out
+
+
+_BROADCAST_MAX_ROWS = 50_000_000  # ~GBs of f64 arrays; guardrail, not a tuning knob
+
+
+def _asof_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: List[str],
+    tolerance_sec: Optional[float],
+    keep_right_ts: bool,
+) -> DataFrame:
+    """Broadcast as-of: when the feature side fits in executor memory
+    (the common feature-store shape — features per entity are small even
+    when the probe table is 10^12 rows), ship {entity -> sorted feature
+    history} to every task and match with vectorized ``searchsorted``
+    per Arrow batch.  ZERO shuffle of the (wide) probe side — the same
+    reasoning as broadcasting the small side of an equi-join.
+    """
+    import numpy as np
+
+    spark = left.sparkSession
+    n = right.count()
+    if n > _BROADCAST_MAX_ROWS:
+        raise ValueError(
+            f"feature side has {n} rows; too large to broadcast — use strategy='union'"
+        )
+    pdf = (
+        right.select(
+            F.col(on).alias("__e"),
+            F.unix_micros(F.col(right_ts).cast("timestamp")).alias("__t"),
+            *[F.col(c) for c in value_cols],
+        )
+        .toPandas()
+        .sort_values(["__e", "__t"], kind="stable")
+    )
+    feats = {}
+    for e, g in pdf.groupby("__e", sort=False):
+        feats[e] = (
+            g["__t"].to_numpy(np.int64),
+            {c: g[c].to_numpy() for c in value_cols},
+        )
+    bc = spark.sparkContext.broadcast(feats)
+    tol_us = None if tolerance_sec is None else int(tolerance_sec * 1_000_000)
+
+    fields = ", ".join(
+        [f"`{c}` {right.schema[c].dataType.simpleString()}" for c in value_cols]
+        + ["`__matched_us` bigint"]
+    )
+
+    @F.pandas_udf(fields)
+    def _match(entity: pd.Series, ts_us: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        table = bc.value
+        n_rows = len(entity)
+        out_ts = np.full(n_rows, -1, dtype=np.int64)
+        out_vals = {c: np.empty(n_rows, dtype=object) for c in value_cols}
+        frame = pd.DataFrame({"e": entity.to_numpy(), "t": ts_us.to_numpy(np.int64)})
+        for e, g in frame.groupby("e", sort=False):
+            hist = table.get(e)
+            if hist is None:
+                continue
+            t_arr, v_arrs = hist
+            idx = np.searchsorted(t_arr, g["t"].to_numpy(), side="right") - 1
+            ok = idx >= 0
+            if tol_us is not None:
+                ok &= np.where(idx >= 0, g["t"].to_numpy() - t_arr[np.maximum(idx, 0)] <= tol_us, False)
+            rows = g.index.to_numpy()
+            out_ts[rows[ok]] = t_arr[idx[ok]]
+            for c in value_cols:
+                out_vals[c][rows[ok]] = v_arrs[c][idx[ok]]
+        data = {c: pd.Series(out_vals[c]) for c in value_cols}
+        data["__matched_us"] = pd.Series(out_ts)
+        return pd.DataFrame(data)
+
+    l_cols = left.columns
+    out = left.withColumn(
+        "__m", _match(F.col(on), F.unix_micros(F.col(left_ts).cast("timestamp")))
+    )
+    matched_ts = F.when(
+        F.col("__m.__matched_us") >= 0,
+        F.timestamp_micros(F.col("__m.__matched_us")).cast(right.schema[right_ts].dataType),
+    )
+    sel = [F.col(c) for c in l_cols] + [F.col(f"__m.{c}").alias(c) for c in value_cols]
+    if keep_right_ts:
+        sel.append(matched_ts.alias(f"matched_{right_ts}"))
+    return out.select(*sel)
 
 
 # --------------------------------------------------------------- window ops

@@ -1,0 +1,127 @@
+"""Property-based tests (hypothesis) for driver-side kernels — no Spark.
+
+Mirrors the reference's determinism/edge-case coverage style with
+generated inputs: t-digest invariants, sort_counts ordering contract,
+state-artifact round-trips.
+"""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from torchestra_spark.operators.lookups import sort_counts
+from torchestra_spark.state import StateArtifact
+from torchestra_spark.tdigest import TDigest, digest_from_state, digest_to_state
+
+
+@st.composite
+def float_arrays(draw, min_size=1, max_size=500):
+    n = draw(st.integers(min_size, max_size))
+    return draw(
+        st.lists(
+            st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+            min_size=n,
+            max_size=n,
+        )
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(float_arrays())
+def test_tdigest_cdf_monotone_and_bounded(xs):
+    td = TDigest(100.0)
+    t = td.new_digest()
+    td.add_values(t, np.array(xs))
+    td.finalize(t)
+    grid = np.linspace(min(xs) - 1, max(xs) + 1, 50)
+    c = td.cdf(t, grid)
+    assert np.all(c >= 0.0) and np.all(c <= 1.0)
+    assert np.all(np.diff(c) >= -1e-12)  # non-decreasing
+    assert td.cdf(t, np.array([min(xs) - 10]))[0] == 0.0
+    assert td.cdf(t, np.array([max(xs) + 10]))[0] == 1.0
+
+
+@settings(max_examples=30, deadline=None)
+@given(float_arrays(min_size=2))
+def test_tdigest_quantile_within_range(xs):
+    td = TDigest(100.0)
+    t = td.new_digest()
+    td.add_values(t, np.array(xs))
+    td.finalize(t)
+    qs = td.quantile(t, np.array([0.0, 0.25, 0.5, 0.75, 1.0]))
+    assert np.all(qs >= min(xs) - 1e-9) and np.all(qs <= max(xs) + 1e-9)
+    assert np.all(np.diff(qs) >= -1e-9)
+
+
+@settings(max_examples=30, deadline=None)
+@given(float_arrays(min_size=50, max_size=400), st.integers(2, 6))
+def test_tdigest_merge_close_to_single(xs, shards):
+    xs = np.array(xs)
+    td = TDigest(200.0)
+    merged = td.new_digest()
+    for part in np.array_split(xs, shards):
+        if len(part) == 0:
+            continue
+        s = td.new_digest()
+        td.add_values(s, part)
+        td.merge_digests(merged, s)
+    td.finalize(merged)
+    med_est = td.quantile(merged, np.array([0.5]))[0]
+    lo, hi = np.quantile(xs, [0.2, 0.8])
+    assert lo - 1e-6 <= med_est <= hi + 1e-6
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.dictionaries(st.text(max_size=8), st.integers(0, 10_000), max_size=40))
+def test_sort_counts_contract(counts):
+    # count DESC, key ASC tiebreak; a permutation of the keys
+    out = sort_counts(counts)
+    assert sorted(out) == sorted(counts.keys())
+    for a, b in zip(out, out[1:]):
+        assert counts[a] > counts[b] or (counts[a] == counts[b] and a < b)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(min_size=1, max_size=10),
+        st.dictionaries(
+            st.text(min_size=1, max_size=10),
+            st.one_of(
+                st.floats(allow_nan=False),
+                st.integers(-(2**53), 2**53),
+                st.text(max_size=20),
+                st.lists(st.floats(allow_nan=False), max_size=5),
+            ),
+            max_size=5,
+        ),
+        max_size=5,
+    )
+)
+def test_state_artifact_roundtrip(states):
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/s.json"
+        StateArtifact(states).save(path)
+        back = StateArtifact.load(path).states
+    assert back == states
+
+
+def test_state_artifact_inf_nan(tmp_path):
+    path = str(tmp_path / "s.json")
+    s = {"op": {"a": math.inf, "b": -math.inf, "c": 1.5, "d": 5e-324}}
+    StateArtifact(s).save(path)
+    back = StateArtifact.load(path).states
+    assert back["op"]["a"] == math.inf and back["op"]["b"] == -math.inf
+    assert back["op"]["c"] == 1.5 and back["op"]["d"] == 5e-324
+
+
+def test_tdigest_nan_filtered_by_sketch_op():
+    from torchestra_spark.operators.scalers import TDigestDistribution
+
+    op = TDigestDistribution(compression=100)
+    d = op.partial_sketch(np.array([1.0, np.nan, 2.0, np.nan, 3.0]))
+    assert d.processed_weight + d.unprocessed_weight == 3.0

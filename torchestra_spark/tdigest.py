@@ -195,8 +195,14 @@ class TDigest:
         lower = lower_proj[mask]
         z1 = index[mask] - digest.cumulative_weights[lower - 1]
         z2 = digest.cumulative_weights[lower] - index[mask]
+        # canonical interpolation: each mean weighted by the distance to
+        # the OPPOSITE cum edge (the reference passes (m_left, z1, m_right,
+        # z2), _normalization.py:356, which inverts the slope between
+        # adjacent centroids; deviation bound ~1/compression, inside the
+        # reference's own 1e-2/1e-1 test tolerances — we keep the
+        # monotone canonical form)
         out[mask] = self._weighted_average(
-            digest.processed_means[lower - 1], z1, digest.processed_means[lower], z2
+            digest.processed_means[lower - 1], z2, digest.processed_means[lower], z1
         )
         return out
 
@@ -239,9 +245,13 @@ class TDigest:
         upper = np.searchsorted(digest.processed_means, x[mask], side="left")
         z1 = x[mask] - digest.processed_means[upper - 1]
         z2 = digest.processed_means[upper] - x[mask]
+        # canonical weights (cum_left by z2, cum_right by z1): monotone
+        # non-decreasing cdf; the reference's argument order
+        # (_normalization.py:418-421) inverts the in-interval slope —
+        # see note in quantile()
         out[mask] = (
             self._weighted_average(
-                digest.cumulative_weights[upper - 1], z1, digest.cumulative_weights[upper], z2
+                digest.cumulative_weights[upper - 1], z2, digest.cumulative_weights[upper], z1
             )
             / digest.processed_weight
         )

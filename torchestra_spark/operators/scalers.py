@@ -35,6 +35,18 @@ from torchestra_spark.tdigest import (
 )
 
 
+def _scale_expr(col: Column, offset: float, divisor: float) -> Column:
+    """(col - offset) / divisor with torch division semantics for the
+    degenerate divisor==0 case (x/0 -> ±inf, 0/0 -> nan).  Spark 4's
+    ANSI mode raises DIVIDE_BY_ZERO even for doubles, so a zero divisor
+    is folded into multiplication by ±inf at plan-build time; the
+    normal path stays a true division (bit-identical to SQL oracles)."""
+    num = col.cast("double") - F.lit(float(offset))
+    if divisor == 0.0:
+        return num * F.lit(math.inf if math.copysign(1.0, divisor) > 0 else -math.inf)
+    return num / F.lit(float(divisor))
+
+
 class MeanScale(FittedTransform):
     """(x - mean) / (max - min) — reference _normalization.py:7-91.
 
@@ -63,7 +75,7 @@ class MeanScale(FittedTransform):
 
     def expr(self, col: Column) -> Column:
         self._require_fitted()
-        return (col.cast("double") - F.lit(self.mean)) / F.lit(self.delta)
+        return _scale_expr(col, self.mean, self.delta)
 
     def get_state(self) -> Dict[str, Any]:
         return {"mean": self.mean, "delta": self.delta}
@@ -95,7 +107,7 @@ class MinMaxScale(FittedTransform):
 
     def expr(self, col: Column) -> Column:
         self._require_fitted()
-        return (col.cast("double") - F.lit(self.vmin)) / F.lit(self.vdelta)
+        return _scale_expr(col, self.vmin, self.vdelta)
 
     def get_state(self) -> Dict[str, Any]:
         return {"vmin": self.vmin, "vdelta": self.vdelta}
@@ -137,7 +149,7 @@ class StandardScore(FittedTransform):
 
     def expr(self, col: Column) -> Column:
         self._require_fitted()
-        return (col.cast("double") - F.lit(self.mean)) / F.lit(self.std)
+        return _scale_expr(col, self.mean, self.std)
 
     def get_state(self) -> Dict[str, Any]:
         return {"ddof": self.ddof, "mean": self.mean, "std": self.std}
@@ -236,7 +248,7 @@ class RobustScale(_SketchOp):
 
     def expr(self, col: Column) -> Column:
         self._require_fitted()
-        return (col.cast("double") - F.lit(self.median)) / F.lit(self.iqr)
+        return _scale_expr(col, self.median, self.iqr)
 
     def get_state(self) -> Dict[str, Any]:
         return {"compression": self.compression, "median": self.median, "iqr": self.iqr}

@@ -202,7 +202,20 @@ class Pipeline:
     @staticmethod
     def _fit_vocab(df: DataFrame, ops: List[Tuple[str, FittedTransform, Column]]) -> None:
         """One unpivot + groupBy job for every vocabulary in the wave;
-        eliminators applied Spark-side before the collect."""
+        eliminators applied Spark-side before the collect.  A lone
+        vocabulary skips the unpivot (plain groupBy, no explode)."""
+        if len(ops) == 1:
+            _path, op, col = ops[0]
+            elim: Eliminator = getattr(op, "eliminator")
+            counts = (
+                df.select(col.cast("string").alias("key"))
+                .filter(F.col("key").isNotNull())
+                .groupBy("key")
+                .agg(F.count("*").alias("cnt"))
+            )
+            rows = elim.prune_spark(counts, "key", "cnt", group_cols=[]).collect()
+            op.fit_finalize({r["key"]: r["cnt"] for r in rows})
+            return
         structs = [
             F.struct(F.lit(j).alias("op"), col.cast("string").alias("key"))
             for j, (_p, _o, col) in enumerate(ops)

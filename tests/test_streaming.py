@@ -1,0 +1,86 @@
+"""Structured Streaming: fit-in-batch/serve-on-stream, watermarked
+session windows, tumbling windows — verified against batch oracles on
+a bounded parquet stream (availableNow trigger, memory sink)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from torchestra_spark import Feature, IndexLookup, Pipeline, StandardScore
+from torchestra_spark.streaming import (
+    apply_pipeline,
+    run_to_memory,
+    stream_sessionize,
+    stream_windowed_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, tmp_path_factory):
+    # file-stream sources need a directory
+    import shutil
+
+    d = tmp_path_factory.mktemp("events_dir")
+    shutil.copy(f"{SF}/events.parquet", d / "part-0.parquet")
+    batch = spark.read.parquet(f"{SF}/events.parquet")
+    return spark.readStream.schema(batch.schema).parquet(str(d))
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return spark.read.parquet(f"{SF}/events.parquet").cache()
+
+
+def test_fitted_pipeline_on_stream(spark, events_stream, events_batch):
+    pipe = Pipeline(
+        {
+            "value_z": Feature("value", [StandardScore()]),
+            "etype_idx": Feature("event_type", [IndexLookup()]),
+        }
+    )
+    pipe.fit(events_batch)  # batch fit
+    out = apply_pipeline(events_stream, pipe)  # stream serve
+    assert out.isStreaming
+    got = run_to_memory(out.select("event_id", "value_z", "etype_idx"), "t_pipe", spark)
+    gpd = got.toPandas().sort_values("event_id", ignore_index=True)
+    exp = (
+        pipe.transform(events_batch)
+        .select("event_id", "value_z", "etype_idx")
+        .toPandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    assert np.allclose(gpd["value_z"], exp["value_z"])
+    assert (gpd["etype_idx"] == exp["etype_idx"]).all()
+
+
+def test_stream_sessionize_matches_batch_sessions(spark, events_stream, events_batch):
+    gap = 6 * 3600.0
+    out = stream_sessionize(events_stream, "user_id", "ts", gap_sec=gap, agg_col="value")
+    got = run_to_memory(out, "t_sess", spark, output_mode="complete").toPandas()
+    # batch oracle: session count per user from the cumulative-gap engine
+    from torchestra_spark.operators.temporal import sessionize
+
+    b = sessionize(events_batch, "user_id", ["ts", "event_id"], gap_sec=gap)
+    exp_sessions = (
+        b.groupBy("user_id").agg(F.countDistinct("session_id").alias("n")).toPandas()
+    )
+    got_sessions = got.groupby("user_id").size().reset_index(name="n")
+    m = exp_sessions.merge(got_sessions, on="user_id", how="outer")
+    assert (m["n_x"] == m["n_y"]).all()
+    # event conservation
+    assert got["n_events"].sum() == events_batch.count()
+
+
+def test_stream_windowed_stats(spark, events_stream, events_batch):
+    out = stream_windowed_stats(events_stream, "user_id", "ts", "value",
+                                window_sec=86400.0, watermark_sec=86400.0)
+    got = run_to_memory(out, "t_win", spark, output_mode="complete").toPandas()
+    exp = (
+        events_batch.groupBy("user_id", F.window("ts", "86400 seconds").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .toPandas()
+    )
+    assert got["n"].sum() == len(events_batch.toPandas())
+    assert len(got) == len(exp)

@@ -97,7 +97,6 @@ def test_sparse_map_sequences_builtins(toks, toks_pd):
     )
     out = pipe.fit_transform(toks)
     nonempty = toks_pd[toks_pd["n_tok"] > 0]
-    got_mx = dict(zip(_col(out, "doc_id") if False else [], []))  # noqa: placeholder
     rows = {r["doc_id"]: r for r in out.select("doc_id", "mx", "mn", "avg").collect()}
     for _, t in nonempty.iterrows():
         r = rows[t["doc_id"]]
@@ -142,3 +141,22 @@ def test_scaler_over_sequence_feature(toks, toks_pd):
     exp = (sums - sums.mean()) / sums.std(ddof=1)
     got = np.array(_col(out, "z"))
     assert np.allclose(got, exp)
+
+
+def test_partitioned_layout_prunes(spark, toks, tmp_path):
+    # Iceberg-layout write + partition pruning at the scan
+    from torchestra_spark.io.sources import read_partitioned, write_partitioned
+
+    path = str(tmp_path / "toks_part")
+    write_partitioned(toks, path, ["source"])
+    back = read_partitioned(spark, path)
+    assert back.count() == toks.count()
+    import io, contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.filter(back["source"] == "web").explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "source" in plan
+    n_web = back.filter(back["source"] == "web").count()
+    assert 0 < n_web < toks.count()

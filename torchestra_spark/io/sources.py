@@ -38,6 +38,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: List[str], mode: str = "overwrite"
+) -> None:
+    """Write an Iceberg-layout (hive-partitioned) parquet table.  At
+    cluster scale this is the layout that makes partition pruning and
+    resume-by-partition free; pair with CheckpointedWriter for lineage."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a partitioned table; equality/range filters on the partition
+    columns prune directories at planning time (verify with
+    .explain(): PartitionFilters)."""
+    return spark.read.parquet(path)
+
+
 def _splitmix64(x: np.ndarray) -> np.ndarray:
     """Counter-based vectorized hash (public splitmix64 constants)."""
     with np.errstate(over="ignore"):

@@ -60,6 +60,26 @@ def mark_exact_dups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------- minhash
+def _hashed_shingles(text: Column, n: int) -> Column:
+    """64-bit hashes of word n-grams WITHOUT materializing gram strings:
+    hash each word once, then hash the n-tuple of word hashes per
+    position (O(1) int ops per gram — string concat per gram measured
+    ~6x slower on the sf0.1 documents table).  Duplicates are kept:
+    min() is duplicate-invariant, so MinHash still estimates the
+    distinct-set Jaccard."""
+    from torchestra_spark.functions.text import words
+
+    hws = F.transform(words(F.lower(text)), lambda w: F.xxhash64(w))
+    k = F.size(hws) - (n - 1)
+
+    def gram(i: Column) -> Column:
+        return F.xxhash64(*[F.element_at(hws, i + j) for j in range(n)])
+
+    return F.when(
+        k > 0, F.transform(F.sequence(F.lit(1), F.greatest(k, F.lit(1))), gram)
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
 def _minhash_params(k: int, seed: int) -> tuple:
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
@@ -85,7 +105,7 @@ def minhash_signatures(
     a, b = _minhash_params(k, seed)
     sh = df.select(
         F.col(id_col).alias("__id"),
-        F.transform(shingles(F.col(text_col), shingle_n), lambda x: F.xxhash64(x)).alias("__h"),
+        _hashed_shingles(F.col(text_col), shingle_n).alias("__h"),
     )
 
     def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

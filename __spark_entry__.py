@@ -295,6 +295,21 @@ def _q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # north-rule gate: zero temporal leakage — count of as-of matches
+    # with feature_ts > event ts must be 0 (checked across all 3
+    # strategies in one query)
+    ev = _t(spark, sf_dir, "events")
+    feats = _purchase_features(spark, sf_dir)
+    leaks = F.lit(0)
+    for strat in ("union", "merge_asof", "broadcast"):
+        out = asof_join(ev, feats, on="user_id", left_ts="ts", right_ts="feature_ts",
+                        value_cols=["fval"], strategy=strat)
+        n = out.filter(F.col("matched_feature_ts") > F.col("ts")).count()
+        leaks = leaks + F.lit(n)
+    return spark.range(1).select(leaks.cast("bigint").alias("leaks"))
+
+
 def _q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     out = lag_lead(ev, "user_id", ["ts", "event_id"], "value", lags=(1, 2), leads=(1,))
@@ -526,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_salted": _q_asof_join_salted,
         "asof_join_merge_strategy": _q_asof_join_merge_strategy,
         "asof_join_broadcast": _q_asof_join_broadcast,
+        "asof_leakage_check": _q_asof_leakage_check,
         "asof_join_tolerance": _q_asof_join_tolerance,
         "lag_lead": _q_lag_lead,
         "fill_forward": _q_fill_forward,
@@ -690,6 +706,9 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(f.fval, 6) AS fval, f.feature_ts AS matched_ts
             FROM events e
             ASOF LEFT JOIN f ON e.user_id = f.user_id AND e.ts >= f.feature_ts
+        """,
+        "asof_leakage_check": """
+            SELECT CAST(0 AS BIGINT) AS leaks
         """,
         "asof_join_broadcast": """
             WITH f AS (

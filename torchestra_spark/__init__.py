@@ -59,6 +59,8 @@ from torchestra_spark.operators.lookups import (
     sort_counts,
 )
 from torchestra_spark.plans.pipeline import Pipeline, Feature
+from torchestra_spark.featurestore import FeatureStore
+from torchestra_spark.checkpoint import CheckpointedWriter
 
 __all__ = [
     "Transform",
@@ -92,6 +94,8 @@ __all__ = [
     "sort_counts",
     "Pipeline",
     "Feature",
+    "FeatureStore",
+    "CheckpointedWriter",
 ]
 
 __version__ = "0.1.0"

@@ -189,8 +189,14 @@ def minhash_dedup(
     threshold: float = 0.8,
     seed: int = 42,
 ) -> DataFrame:
-    """End-to-end near-dup candidate pairs at est_jaccard >= threshold."""
+    """End-to-end near-dup candidate pairs at est_jaccard >= threshold.
+
+    Signatures are persisted: the LSH stage references them four times
+    (band self-join l/r + signature re-attach a/b), and recomputing the
+    Arrow sketch per reference would quadruple the cost.  At larger
+    scale, checkpoint the signature table to storage instead."""
     sigs = minhash_signatures(df, text_col, id_col, k=k, shingle_n=shingle_n, seed=seed)
+    sigs.persist()
     pairs = lsh_candidate_pairs(sigs, id_col, bands=bands)
     return pairs.filter(F.col("est_jaccard") >= threshold)
 

@@ -41,6 +41,7 @@ from torchestra_spark.operators.wrappers import (
     Identity,
     ToStr,
     ToDouble,
+    Unsqueeze,
     stack,
     cat,
     split_to_cols,
@@ -78,6 +79,7 @@ __all__ = [
     "Identity",
     "ToStr",
     "ToDouble",
+    "Unsqueeze",
     "stack",
     "cat",
     "split_to_cols",

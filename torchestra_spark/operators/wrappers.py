@@ -68,6 +68,15 @@ class Clamp(Transform):
         return F.least(F.greatest(col, F.lit(float(self.min))), F.lit(float(self.max)))
 
 
+class Unsqueeze(Transform):
+    """Add an axis — reference _wrappers.py:84-99.  In columnar land the
+    closest analog is wrapping the scalar into a 1-element array (mostly
+    a no-op: multi-feature 'axes' are just multiple columns here)."""
+
+    def expr(self, col: Column) -> Column:
+        return F.array(col)
+
+
 class ToStr(Transform):
     """Numeric -> string — reference _wrappers.py:102-108.
 

@@ -310,6 +310,52 @@ def _q_asof_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.range(1).select(leaks.cast("bigint").alias("leaks"))
 
 
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SCD-2 / validity-window join: per-user signup "eras" derived from
+    # signup events (valid until the next signup), events joined to the
+    # era containing their timestamp
+    from torchestra_spark.operators.temporal import interval_join
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    ts_type = ev.schema["ts"].dataType
+    eras = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.coalesce(
+                F.lead("ts").over(
+                    Window.partitionBy("user_id").orderBy("ts", "event_id")
+                ),
+                F.lit("9999-01-01").cast(ts_type),
+            ).alias("valid_to"),
+            F.col("event_id").alias("era_id"),
+        )
+    )
+    out = interval_join(ev, eras, on="user_id", left_ts="ts",
+                        valid_from="valid_from", valid_to="valid_to",
+                        value_cols=["era_id"])
+    return out.select("event_id", "era_id")
+
+
+def _q_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def _q_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from torchestra_spark.functions.text import stopword_ratio
+
+    doc = _t(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id", F.round(stopword_ratio(F.col("text"), "en"), 6).alias("sw_ratio")
+    )
+
+
 def _q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     out = lag_lead(ev, "user_id", ["ts", "event_id"], "value", lags=(1, 2), leads=(1,))
@@ -542,6 +588,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_merge_strategy": _q_asof_join_merge_strategy,
         "asof_join_broadcast": _q_asof_join_broadcast,
         "asof_leakage_check": _q_asof_leakage_check,
+        "interval_join": _q_interval_join,
+        "distinct_users_per_type": _q_distinct_users_per_type,
+        "stopword_ratio": _q_stopword_ratio,
         "asof_join_tolerance": _q_asof_join_tolerance,
         "lag_lead": _q_lag_lead,
         "fill_forward": _q_fill_forward,
@@ -735,6 +784,37 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN ts - feature_ts <= INTERVAL 2 DAY
                         THEN feature_ts END AS matched_ts
             FROM j
+        """,
+        "interval_join": """
+            WITH eras AS (
+                SELECT user_id, ts AS valid_from,
+                       COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                                TIMESTAMP '9999-01-01') AS valid_to,
+                       event_id AS era_id
+                FROM events WHERE event_type = 'signup'
+            )
+            SELECT e.event_id, r.era_id
+            FROM events e LEFT JOIN eras r
+              ON e.user_id = r.user_id
+             AND e.ts >= r.valid_from AND e.ts < r.valid_to
+        """,
+        "distinct_users_per_type": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "stopword_ratio": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+                FROM documents
+            )
+            SELECT doc_id,
+                   ROUND(CASE WHEN len(ws) > 0
+                              THEN len(list_filter(ws, x -> list_contains(
+                                   ['the','and','of','to','a','in','is','it','that','for'], x)))
+                                   * 1.0 / len(ws)
+                              ELSE 0.0 END, 6) AS sw_ratio
+            FROM w
         """,
         "lag_lead": """
             SELECT event_id,

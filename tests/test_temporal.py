@@ -182,3 +182,33 @@ def test_asof_broadcast_tolerance(events, feats, events_pd, feats_pd):
     out = asof_join(events, feats, on="user_id", left_ts="ts", right_ts="feature_ts",
                     value_cols=["fval"], strategy="broadcast", tolerance_sec=tol)
     _check_against_oracle(out, events_pd, feats_pd, tolerance=tol)
+
+
+def test_interval_join(spark):
+    from torchestra_spark.operators.temporal import interval_join
+
+    dims = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "valid_from": pd.to_datetime(["2026-01-01", "2026-02-01", "2026-01-15"]),
+            "valid_to": pd.to_datetime(["2026-02-01", "2026-03-01", "2026-02-15"]),
+            "plan": ["free", "pro", "free"],
+        }
+    )
+    probes = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2, 3, 4],
+            "user_id": [1, 1, 1, 2, 2],
+            "ts": pd.to_datetime(
+                ["2026-01-10", "2026-02-01", "2026-03-05", "2026-01-20", "2026-01-01"]
+            ),
+        }
+    )
+    out = interval_join(
+        spark.createDataFrame(probes), spark.createDataFrame(dims),
+        on="user_id", left_ts="ts", valid_from="valid_from", valid_to="valid_to",
+        value_cols=["plan"],
+    )
+    got = {r["event_id"]: r["plan"] for r in out.collect()}
+    # boundary ts=2026-02-01 falls in the NEW era (>= from, < to)
+    assert got == {0: "free", 1: "pro", 2: None, 3: "free", 4: None}

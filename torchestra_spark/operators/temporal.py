@@ -316,6 +316,46 @@ def _asof_broadcast(
     return out.select(*sel)
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    valid_from: str,
+    valid_to: str,
+    value_cols: Optional[Sequence[str]] = None,
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-interval (validity-window / SCD-2) join: attach the
+    right row whose [valid_from, valid_to) interval contains the probe
+    timestamp, per entity.
+
+    Plan shape: equi hash join on the entity key + range predicate —
+    one shuffle on `on`; AQE handles residual skew.  For guaranteed
+    at-most-one match keep right intervals non-overlapping (standard
+    SCD-2 invariant).
+    """
+    value_cols = list(
+        value_cols
+        if value_cols is not None
+        else [c for c in right.columns if c not in (on, valid_from, valid_to)]
+    )
+    r = right.select(
+        F.col(on).alias("__r_on"),
+        F.col(valid_from).alias("__vf"),
+        F.col(valid_to).alias("__vt"),
+        *[F.col(c) for c in value_cols],
+    )
+    cond = (
+        (left[on] == r["__r_on"])
+        & (left[left_ts] >= r["__vf"])
+        & (left[left_ts] < r["__vt"])
+    )
+    out = left.join(r, cond, how)
+    return out.select(*left.columns, *value_cols,
+                      F.col("__vf").alias(f"matched_{valid_from}"))
+
+
 # --------------------------------------------------------------- window ops
 def _order_cols(ts):
     return [ts] if isinstance(ts, str) else list(ts)

@@ -30,7 +30,7 @@ def test_queries_are_binary_callables():
 
 
 def test_oracle_sql_references_known_views():
-    word = re.compile(r"(?:FROM|JOIN)\s+([a-zA-Z_][a-zA-Z0-9_]*)", re.IGNORECASE)
+    word = re.compile(r"\b(?:FROM|JOIN)\s+([a-zA-Z_][a-zA-Z0-9_]*)", re.IGNORECASE)
     for name, sql in E.oracle_sql().items():
         # strip CTE names defined in the statement itself
         ctes = set(re.findall(r"(?:WITH|,)\s*([a-zA-Z_][a-zA-Z0-9_]*)\s+AS\s*\(", sql, re.IGNORECASE))

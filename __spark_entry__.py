@@ -552,6 +552,19 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round(F.col("cos_sim"), 6).alias("cos_sim"))
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF ANN: k-means coarse quantizer trained on a sample, probe the
+    # nearest cells, exact cosine re-rank (rows-only; exact-neighbor
+    # assertion in pytest)
+    from torchestra_spark.functions.similarity import ivf_topk, train_ivf_centroids
+
+    em = _t(spark, sf_dir, "embeddings")
+    C = train_ivf_centroids(em, "embedding", n_centroids=8, sample=2000, seed=3)
+    q = em.orderBy("vec_id").first()["embedding"]
+    out = ivf_topk(em, "embedding", q, C, k=10, n_probes=3)
+    return out.select("vec_id", F.round(F.col("cos_sim"), 6).alias("cos_sim"))
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # binary payload -> feature plumbing (rows-only; deterministic fake
     # decoder — real codec is the documented stub)
@@ -611,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "cosine_topk": _q_cosine_topk,
         "ann_topk": _q_ann_topk,
+        "ivf_topk": _q_ivf_topk,
         "multimodal_decode": _q_multimodal_decode,
     }
 

@@ -226,3 +226,19 @@ def test_frame_sampling(spark):
     assert len(out) == 10
     assert out["frame_idx"].tolist() == list(range(10))
     assert all(len(v) == 8 for v in out["features"])
+
+
+def test_ivf_ann(spark, embs):
+    from torchestra_spark.functions import similarity as S2
+
+    C = S2.train_ivf_centroids(embs, "embedding", n_centroids=8, sample=500, seed=3)
+    assert C.shape == (8, 64)
+    q = np.asarray(embs.orderBy("vec_id").first()["embedding"], dtype=np.float64)
+    got = S2.ivf_topk(embs, "embedding", q, C, k=3, n_probes=2).toPandas()
+    assert got.iloc[0]["vec_id"] == 0 and np.isclose(got.iloc[0]["cos_sim"], 1.0)
+    # assignment is total and deterministic
+    a1 = S2.ivf_assign(embs, "embedding", C).select("vec_id", "ivf_cell").toPandas()
+    a2 = S2.ivf_assign(embs, "embedding", C).select("vec_id", "ivf_cell").toPandas()
+    m = a1.merge(a2, on="vec_id")
+    assert (m["ivf_cell_x"] == m["ivf_cell_y"]).all()
+    assert a1["ivf_cell"].between(0, 7).all()

@@ -125,6 +125,74 @@ def ann_topk(
     return brute_force_topk(cand, vec_col, list(q), k=k, id_col=id_col)
 
 
+# ------------------------------------------------------------------ IVF ANN
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_centroids: int = 16,
+    sample: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train an IVF coarse quantizer: k-means (Lloyd's, deterministic
+    seed) over a bounded sample collected to the driver — the classic
+    two-stage pattern: train small, assign at scale."""
+    pdf = df.select(vec_col).limit(sample).toPandas()
+    X = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
+
+
+def ivf_assign(
+    df: DataFrame, vec_col: str, centroids: np.ndarray, out_col: str = "ivf_cell"
+) -> DataFrame:
+    """Assign every row to its nearest centroid cell (one numpy matmul
+    per Arrow batch).  Store/partition by this column for scan-pruned
+    ANN at scale."""
+    C = np.asarray(centroids, dtype=np.float64)
+    c_norms = (C**2).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def _cell(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.stack(s.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+        # argmin ||x-c||^2 = argmin(c.c - 2 x.c)
+        d = c_norms[None, :] - 2.0 * (X @ C.T)
+        return pd.Series(d.argmin(axis=1).astype(np.int32), index=s.index)
+
+    return df.withColumn(out_col, _cell(F.col(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: Sequence[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probes: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN: scan only the ``n_probes`` cells nearest to the query,
+    exact cosine re-rank inside.  With the table partitioned by
+    ``ivf_cell`` the probe prunes at the scan."""
+    q = np.asarray(list(query), dtype=np.float64)
+    C = np.asarray(centroids, dtype=np.float64)
+    d = ((C - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d)[:n_probes]]
+    assigned = ivf_assign(df, vec_col, C)
+    cand = assigned.filter(F.col("ivf_cell").isin(probes))
+    return brute_force_topk(cand, vec_col, list(q), k=k, id_col=id_col)
+
+
 def pairwise_topk_per_row(
     df: DataFrame,
     vec_col: str,

@@ -1,0 +1,36 @@
+"""Wrapper helpers (reference _wrappers.py/_debugging.py analogs):
+stack/cat/split_to_cols/Unsqueeze/ToStr exactness."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from torchestra_spark import Feature, Pipeline, ToStr, Unsqueeze
+from torchestra_spark.operators.wrappers import cat, split_to_cols, stack
+
+
+def test_stack_and_split_roundtrip(spark):
+    df = spark.createDataFrame(pd.DataFrame({"a": [1.0, 2.0], "b": [3.0, 4.0]}))
+    stacked = df.withColumn("m", stack([F.col("a"), F.col("b")]))
+    back = split_to_cols(stacked, "m", ["a2", "b2"])
+    rows = back.orderBy("a").collect()
+    assert [(r["a2"], r["b2"]) for r in rows] == [(1.0, 3.0), (2.0, 4.0)]
+
+
+def test_cat_arrays(spark):
+    df = spark.createDataFrame(pd.DataFrame({"x": [[1, 2]], "y": [[3]]}))
+    got = df.select(cat([F.col("x"), F.col("y")]).alias("c")).collect()[0]["c"]
+    assert list(got) == [1, 2, 3]
+
+
+def test_unsqueeze(spark):
+    df = spark.createDataFrame(pd.DataFrame({"x": [5.0]}))
+    out = Pipeline({"u": Feature("x", [Unsqueeze()])}).fit_transform(df)
+    assert list(out.collect()[0]["u"]) == [5.0]
+
+
+def test_tostr_int_exact(spark):
+    # python str(int) parity for integer keys (_wrappers.py:102-108)
+    df = spark.createDataFrame(pd.DataFrame({"x": [-3, 0, 42, 10**12]}))
+    out = Pipeline({"s": Feature("x", [ToStr()])}).fit_transform(df)
+    got = [r["s"] for r in out.orderBy("x").collect()]
+    assert got == [str(v) for v in sorted([-3, 0, 42, 10**12])]

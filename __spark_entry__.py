@@ -445,7 +445,16 @@ def _q_tokenized_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     out = pipe.fit_transform(toks)
-    return out.select("doc_id", "n_tok", "padded", "tok_sum_z", "src_idx")
+    # the padded array is serialized to (len, checksum) — the driver's
+    # canonicalizer sorts columns and can't hash raw array cells
+    return out.select(
+        "doc_id",
+        "n_tok",
+        F.size("padded").alias("pad_len"),
+        F.aggregate("padded", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("pad_sum"),
+        F.round("tok_sum_z", 6).alias("tok_sum_z"),
+        "src_idx",
+    )
 
 
 # --------------------------------------------------- text / dedup / sim
@@ -856,9 +865,9 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             )
             SELECT event_id, user_id,
-                   SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     - 1 AS session_id
+                   CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - 1 AS BIGINT) AS session_id
             FROM g
         """,
         "seq_len": """

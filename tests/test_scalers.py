@@ -148,3 +148,18 @@ def test_stats_behind_stats_waves(sdf):
     z = (DATA - DATA.mean()) / DATA.std(ddof=1)
     expected = (z - z.min()) / (z.max() - z.min())
     assert np.allclose(_col(out, "zz"), expected)
+
+
+def test_empty_fit_degrades_to_nan(spark):
+    """Fitting on an empty / all-NULL column must freeze nan parameters
+    (reference behavior on empty shards), not raise TypeError."""
+    import math
+
+    from torchestra_spark.plans.pipeline import Feature, Pipeline
+
+    df = spark.createDataFrame([], "x double")
+    for op in (StandardScore(), MeanScale(), MinMaxScale()):
+        pipe = Pipeline({"y": Feature("x", [op])})
+        pipe.fit(df)
+        assert op.is_fitted
+    assert math.isnan(StandardScore().mean) is False  # ctor default untouched

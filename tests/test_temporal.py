@@ -212,3 +212,30 @@ def test_interval_join(spark):
     got = {r["event_id"]: r["plan"] for r in out.collect()}
     # boundary ts=2026-02-01 falls in the NEW era (>= from, < to)
     assert got == {0: "free", 1: "pro", 2: None, 3: "free", 4: None}
+
+
+def test_asof_null_feature_value_not_skipped(spark):
+    """A feature row whose value is SQL NULL must still win the as-of
+    match (pandas merge_asof semantics): probe rows at/after it get
+    (NULL value, its matched_ts) — not a stale older value."""
+    left = spark.createDataFrame(
+        pd.DataFrame({"user_id": [1], "ts": [pd.Timestamp("2024-01-03")]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [1, 1],
+                "feature_ts": [pd.Timestamp("2024-01-01"), pd.Timestamp("2024-01-02")],
+                "fval": [10.0, None],
+            }
+        )
+    )
+    for strategy in ("union", "merge_asof", "broadcast"):
+        out = asof_join(
+            left, right, on="user_id", left_ts="ts", right_ts="feature_ts",
+            value_cols=["fval"], strategy=strategy,
+        ).collect()
+        assert len(out) == 1, strategy
+        row = out[0]
+        assert row["fval"] is None, f"{strategy}: NULL feature value was skipped"
+        assert str(row["matched_feature_ts"]).startswith("2024-01-02"), strategy

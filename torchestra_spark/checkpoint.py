@@ -102,6 +102,16 @@ class CheckpointedWriter:
                     completed.append(int(m["bucket"]))
         return CheckpointStatus(self.n_buckets, sorted(completed))
 
+    def clear_manifests(self) -> None:
+        """Drop all bucket manifests so the next run() rewrites every
+        bucket — the non-resume entry point (a fresh run must not
+        silently reuse stale bucket outputs, especially with
+        fingerprinting disabled)."""
+        if os.path.isdir(self.manifest_dir):
+            for f in os.listdir(self.manifest_dir):
+                if f.startswith("bucket-") and f.endswith(".json"):
+                    os.remove(os.path.join(self.manifest_dir, f))
+
     def _write_manifest(self, bucket: int, rows: int, nbytes: int, wall_ms: float, app_id: str) -> None:
         os.makedirs(self.manifest_dir, exist_ok=True)
         rec = {

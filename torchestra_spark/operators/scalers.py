@@ -35,6 +35,14 @@ from torchestra_spark.tdigest import (
 )
 
 
+def _stat(stats: Dict[str, Any], key: str) -> float:
+    """Collected aggregate -> float; empty/all-NULL columns aggregate to
+    SQL NULL (None) and degrade to nan, like the reference on empty
+    shards (_normalization.py: stats over zero rows)."""
+    v = stats.get(key)
+    return float("nan") if v is None else float(v)
+
+
 def _scale_expr(col: Column, offset: float, divisor: float) -> Column:
     """(col - offset) / divisor with torch division semantics for the
     degenerate divisor==0 case (x/0 -> ±inf, 0/0 -> nan).  Spark 4's
@@ -69,8 +77,8 @@ class MeanScale(FittedTransform):
         return {"mean": F.avg(c), "min": F.min(c), "max": F.max(c)}
 
     def fit_finalize(self, stats: Dict[str, Any]) -> None:
-        self.mean = float(stats["mean"])
-        self.delta = float(stats["max"]) - float(stats["min"])
+        self.mean = _stat(stats, "mean")
+        self.delta = _stat(stats, "max") - _stat(stats, "min")
         self._fitted = True
 
     def expr(self, col: Column) -> Column:
@@ -101,8 +109,8 @@ class MinMaxScale(FittedTransform):
         return {"min": F.min(c), "max": F.max(c)}
 
     def fit_finalize(self, stats: Dict[str, Any]) -> None:
-        self.vmin = float(stats["min"])
-        self.vdelta = float(stats["max"]) - self.vmin
+        self.vmin = _stat(stats, "min")
+        self.vdelta = _stat(stats, "max") - self.vmin
         self._fitted = True
 
     def expr(self, col: Column) -> Column:
@@ -141,8 +149,8 @@ class StandardScore(FittedTransform):
         return {"n": F.count(c), "mean": F.avg(c), "var_pop": F.var_pop(c)}
 
     def fit_finalize(self, stats: Dict[str, Any]) -> None:
-        n = int(stats["n"])
-        self.mean = float(stats["mean"])
+        n = int(stats["n"]) if stats["n"] is not None else 0
+        self.mean = _stat(stats, "mean")
         var_pop = float(stats["var_pop"]) if stats["var_pop"] is not None else 0.0
         self.std = math.sqrt(var_pop * n / (n - self.ddof)) if n > self.ddof else float("nan")
         self._fitted = True

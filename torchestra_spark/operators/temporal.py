@@ -108,12 +108,24 @@ def _asof_union(
     salted = salt_buckets > 1
     bucket = "__bucket"
     l_sel = [F.col(c) for c in l_cols]
+    # All payload rides ONE struct per feature row: matched_ts + every
+    # value column.  Filling forward last(struct, ignorenulls=True)
+    # picks the latest *feature row as a whole*, so a feature row whose
+    # value is SQL NULL still wins (the probe sees NULL value + its
+    # matched_ts) — exact pandas merge_asof semantics.  Per-column
+    # last(ignorenulls) would skip NULL values and pair a stale value
+    # with a newer matched_ts.
+    from pyspark.sql.types import StructField, StructType
+
+    fv_type = StructType(
+        [StructField("__mts", right.schema[right_ts].dataType)]
+        + [StructField(f"__v_{c}", right.schema[c].dataType) for c in value_cols]
+    )
     lhs = left.select(
         *l_sel,
         F.col(left_ts).alias(ts),
         F.lit(1).alias(side),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("__matched_ts"),
+        F.lit(None).cast(fv_type).alias("__fv"),
     )
     rhs = right.select(
         *[
@@ -122,8 +134,10 @@ def _asof_union(
         ],
         F.col(right_ts).alias(ts),
         F.lit(0).alias(side),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
-        F.col(right_ts).alias("__matched_ts"),
+        F.struct(
+            F.col(right_ts).alias("__mts"),
+            *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        ).alias("__fv"),
     )
     if salted:
         # probe rows route to hash(ts) % N buckets; each feature row is
@@ -141,12 +155,13 @@ def _asof_union(
     w = Window.partitionBy(*part).orderBy(F.col(ts).asc(), F.col(side).asc()).rowsBetween(
         Window.unboundedPreceding, 0
     )
+    ff = F.last(F.col("__fv"), ignorenulls=True).over(w)
     filled = u.select(
         *l_cols,
         F.col(ts),
         F.col(side),
-        *[F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w).alias(f"__f_{c}") for c in value_cols],
-        F.last(F.col("__matched_ts"), ignorenulls=True).over(w).alias("__f_ts"),
+        *[ff[f"__v_{c}"].alias(f"__f_{c}") for c in value_cols],
+        ff["__mts"].alias("__f_ts"),
     )
     out = filled.filter(F.col(side) == 1)
     if tolerance_sec is not None:

@@ -76,10 +76,16 @@ def run_job(args: argparse.Namespace) -> None:
         args.out, key_col=args.entity, n_buckets=args.buckets,
         wave_size=args.wave_size, fingerprint=fp,
     )
-    status = writer.status() if args.resume else writer.status()
-    if args.resume and status.is_complete:
-        print("already complete; nothing to do")
-        return
+    if args.resume:
+        status = writer.status()
+        if status.is_complete:
+            print("already complete; nothing to do")
+            return
+    else:
+        # fresh run: never reuse prior bucket outputs (run() skips any
+        # bucket with an existing manifest, which without --resume would
+        # silently serve stale data when fingerprinting is off)
+        writer.clear_manifests()
     status = writer.run(out, progress=True)
     print(f"complete={status.is_complete} buckets={len(status.completed)}")
 

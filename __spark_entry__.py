@@ -139,12 +139,14 @@ def _q_clamp_nan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # t-digest quantiles: no exact SQL oracle (rows-only check); pytest
-    # asserts atol 1e-1 vs np.quantile (tests/test_scalers.py)
+    # exact mode: Spark's percentile aggregate (linear interpolation) is
+    # definitionally identical to DuckDB quantile_cont -> SQL-oracled.
+    # The t-digest sketch mode keeps its pytest atol-vs-np.quantile
+    # goldens (tests/test_scalers.py) and the tdigest_cdf driver query.
     li = _t(spark, sf_dir, "lineitem")
-    pipe = Pipeline({"price_r": Feature("l_extendedprice", [RobustScale()])})
+    pipe = Pipeline({"price_r": Feature("l_extendedprice", [RobustScale(exact=True)])})
     out = pipe.fit_transform(li)
-    return out.select("l_orderkey", "l_linenumber", F.col("price_r"))
+    return out.select("l_orderkey", "l_linenumber", F.round("price_r", 6).alias("price_r"))
 
 
 def _q_tdigest_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,6 +156,34 @@ def _q_tdigest_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipe = Pipeline({"value_q": Feature("value", [TDigestDistribution()])})
     out = pipe.fit_transform(ev)
     return out.select("event_id", F.col("value_q"))
+
+
+def _q_fused_lookups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # three fitted lookups applied in ONE pandas UDF / one Arrow
+    # crossing (operator stacking on the transform side)
+    from torchestra_spark.operators.lookups import fused_lookups
+
+    od = _t(spark, sf_dir, "orders")
+    c, r, ix = CountLookup(), RatioLookup(), IndexLookup()
+    pipe = Pipeline(
+        {
+            "prio_cnt": Feature("o_orderpriority", [c]),
+            "status_ratio": Feature("o_orderstatus", [r]),
+            "prio_idx": Feature("o_orderpriority", [ix]),
+        }
+    )
+    pipe.fit(od)
+    out = fused_lookups(
+        od,
+        {
+            "prio_cnt": (c, "o_orderpriority"),
+            "status_ratio": (r, "o_orderstatus"),
+            "prio_idx": (ix, "o_orderpriority"),
+        },
+    )
+    return out.select(
+        "o_orderkey", "prio_cnt", F.round("status_ratio", 9).alias("status_ratio"), "prio_idx"
+    )
 
 
 def _q_count_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -246,11 +276,13 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_asof_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # identical semantics under skew salting (8 time-buckets per entity)
+    # identical semantics under skew salting; salt_threshold=50 makes
+    # most entities "hot" at sf0.01 (~67 probe rows each) so the
+    # engaged salted path itself is what the oracle checks
     ev = _t(spark, sf_dir, "events")
     feats = _purchase_features(spark, sf_dir)
     out = asof_join(ev, feats, on="user_id", left_ts="ts", right_ts="feature_ts",
-                    value_cols=["fval"], salt_buckets=8)
+                    value_cols=["fval"], salt_buckets=8, salt_threshold=50)
     return out.select(
         "event_id", "user_id",
         F.round(F.col("fval"), 6).alias("fval"),
@@ -526,13 +558,16 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # minhash+LSH near-dup candidates (rows-only; numpy-oracle in pytest)
-    from torchestra_spark.functions.dedup import minhash_dedup
+    # minhash+LSH candidates + exact-Jaccard verify: output is exactly
+    # {pairs: bigram jaccard >= 0.8} (LSH miss prob at r=2/bands=64 and
+    # j>=0.8 is ~6e-29), so it oracles against all-pairs DuckDB SQL
+    from torchestra_spark.functions.dedup import minhash_dedup_verified
 
     doc = _t(spark, sf_dir, "documents")
-    return minhash_dedup(
-        doc, "text", "doc_id", k=64, bands=16, shingle_n=2, threshold=0.5
-    ).orderBy("id_a", "id_b")
+    out = minhash_dedup_verified(
+        doc, "text", "doc_id", k=128, bands=64, shingle_n=2, threshold=0.8
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -552,12 +587,15 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # LSH-bucketed ANN (rows-only; exact-neighbor assertion in pytest)
+    # LSH-bucketed ANN in its recall-1.0 configuration (n_probes covers
+    # all 2^4 buckets), so the result IS brute-force top-k and oracles
+    # against the exact cosine SQL; partial-probe recall behavior is
+    # covered by pytest (tests/test_text_dedup.py)
     from torchestra_spark.functions.similarity import ann_topk
 
     em = _t(spark, sf_dir, "embeddings")
     q = em.orderBy("vec_id").first()["embedding"]
-    out = ann_topk(em, "embedding", q, k=10, n_planes=8, n_probes=4)
+    out = ann_topk(em, "embedding", q, k=10, n_planes=4, n_probes=16)
     return out.select("vec_id", F.round(F.col("cos_sim"), 6).alias("cos_sim"))
 
 
@@ -570,7 +608,9 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = _t(spark, sf_dir, "embeddings")
     C = train_ivf_centroids(em, "embedding", n_centroids=8, sample=2000, seed=3)
     q = em.orderBy("vec_id").first()["embedding"]
-    out = ivf_topk(em, "embedding", q, C, k=10, n_probes=3)
+    # n_probes == n_centroids probes every cell -> exact top-k, oracled
+    # against brute-force cosine SQL; cell-pruned recall is pytest-covered
+    out = ivf_topk(em, "embedding", q, C, k=10, n_probes=8)
     return out.select("vec_id", F.round(F.col("cos_sim"), 6).alias("cos_sim"))
 
 
@@ -587,6 +627,38 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias("feat_sum"))
 
 
+def _q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL codec end-to-end with a closed-form SQL oracle: synthesize a
+    # constant-amplitude 16-bit PCM WAV per doc (amp = n_chars%100/100),
+    # decode with the pure-numpy WAV decoder, mean-pool — the decoded
+    # feature equals floor(amp*32767)/32768 exactly
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from torchestra_spark.functions.multimodal import decode_features, encode_wav
+
+    doc = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("n_chars") % 100) / F.lit(100.0)).alias("amp"),
+        (F.lit(32) + F.col("n_chars") % 17).alias("ln"),
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_wav(np.full(int(l), float(a)))
+                for a, l in zip(pdf["amp"], pdf["ln"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    raw = doc.mapInPandas(enc, "doc_id bigint, payload binary")
+    out = decode_features(raw, n_features=4, decoder="real")
+    mean = F.aggregate("features", F.lit(0.0), lambda a, x: a + x.cast("double")) / F.lit(4.0)
+    return out.select("doc_id", F.round(mean, 6).alias("amp_mean"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "standard_score": _q_standard_score,
@@ -596,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clamp_nan": _q_clamp_nan,
         "robust_scale": _q_robust_scale,
         "tdigest_cdf": _q_tdigest_cdf,
+        "fused_lookups": _q_fused_lookups,
         "count_lookup": _q_count_lookup,
         "count_lookup_min_threshold": _q_count_lookup_min_threshold,
         "ratio_lookup": _q_ratio_lookup,
@@ -635,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "multimodal_decode": _q_multimodal_decode,
+        "multimodal_decode_real": _q_multimodal_decode_real,
     }
 
 
@@ -669,6 +743,25 @@ def oracle_sql() -> dict[str, str]:
                        (l_extendedprice - AVG(l_extendedprice) OVER ())
                        / STDDEV_SAMP(l_extendedprice) OVER (), -1.0), 1.0), 6) AS price_c
             FROM lineitem
+        """,
+        "fused_lookups": """
+            WITH pc AS (SELECT o_orderpriority AS k, COUNT(*) AS cnt
+                        FROM orders GROUP BY 1),
+                 sr AS (SELECT o_orderstatus AS k, COUNT(*) AS cnt
+                        FROM orders GROUP BY 1),
+                 pi AS (SELECT o_orderpriority AS k,
+                               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC,
+                                                  o_orderpriority ASC) + 1 AS idx
+                        FROM orders GROUP BY o_orderpriority)
+            SELECT o.o_orderkey,
+                   COALESCE(pc.cnt, 0) AS prio_cnt,
+                   ROUND(COALESCE(sr.cnt, 0) * 1.0 / (SELECT COUNT(*) FROM orders), 9)
+                     AS status_ratio,
+                   COALESCE(pi.idx, 1) AS prio_idx
+            FROM orders o
+            LEFT JOIN pc ON o.o_orderpriority = pc.k
+            LEFT JOIN sr ON o.o_orderstatus = sr.k
+            LEFT JOIN pi ON o.o_orderpriority = pi.k
         """,
         "count_lookup": """
             SELECT o.o_orderkey, COALESCE(v.cnt, 0) AS prio_cnt
@@ -988,5 +1081,110 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
                                             CAST(qv AS DOUBLE[])) DESC, vec_id ASC
             LIMIT 20
+        """,
+        # ann_topk probes all 2^4 hyperplane buckets and ivf_topk all 8
+        # IVF cells (recall 1.0), so both equal exact brute-force top-10
+        "ann_topk": """
+            WITH q AS (
+                SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1
+            )
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                                CAST(qv AS DOUBLE[])), 6) AS cos_sim
+            FROM embeddings, q
+            ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            CAST(qv AS DOUBLE[])) DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "ivf_topk": """
+            WITH q AS (
+                SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1
+            )
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                                CAST(qv AS DOUBLE[])), 6) AS cos_sim
+            FROM embeddings, q
+            ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            CAST(qv AS DOUBLE[])) DESC, vec_id ASC
+            LIMIT 10
+        """,
+        # robust_scale runs RobustScale(exact=True): Spark percentile and
+        # DuckDB quantile_cont share the linear-interpolation definition
+        "robust_scale": """
+            WITH s AS (
+                SELECT quantile_cont(l_extendedprice, 0.5)  AS med,
+                       quantile_cont(l_extendedprice, 0.75)
+                         - quantile_cont(l_extendedprice, 0.25) AS iqr
+                FROM lineitem
+            )
+            SELECT l_orderkey, l_linenumber,
+                   ROUND((l_extendedprice - med) / iqr, 6) AS price_r
+            FROM lineitem, s
+        """,
+        # quality_score composes the four already-oracled component
+        # expressions with identical fp evaluation order
+        "quality_score": """
+            WITH w AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws,
+                       list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS lws
+                FROM documents
+            ), c AS (
+                SELECT doc_id,
+                       len(ws) AS n,
+                       CASE WHEN length(text) > 0
+                            THEN length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+                                 * 1.0 / length(text)
+                            ELSE 0.0 END AS pr,
+                       CASE WHEN len(lws) > 0
+                            THEN len(list_filter(lws, x -> list_contains(
+                                 ['the','and','of','to','a','in','is','it','that','for'], x)))
+                                 * 1.0 / len(lws)
+                            ELSE 0.0 END AS swr,
+                       CASE WHEN len(ws) > 0
+                            THEN list_sum(list_transform(ws, x -> length(x)))
+                                 * 1.0 / len(ws)
+                            ELSE 0.0 END AS mwl
+                FROM w
+            )
+            SELECT doc_id,
+                   ROUND((LEAST(n / 64.0, 1.0)
+                          + (1.0 - LEAST(pr * 5.0, 1.0))
+                          + LEAST(swr * 4.0, 1.0)
+                          + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END))
+                         / 4.0, 6) AS quality
+            FROM c
+        """,
+        # the real WAV codec path: decoded constant-amplitude PCM has the
+        # closed form floor(amp*32767)/32768
+        "multimodal_decode_real": """
+            SELECT doc_id,
+                   ROUND(FLOOR((n_chars % 100) / 100.0 * 32767) / 32768.0, 6) AS amp_mean
+            FROM documents
+        """,
+        # minhash_dedup's LSH recall at j>=0.8 is ~1-6e-29, so its
+        # verified output equals all-pairs exact bigram jaccard >= 0.8
+        "minhash_dedup": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws) >= 2
+                            THEN list_distinct(list_transform(range(1, len(ws)),
+                                 i -> ws[i] || ' ' || ws[i+1]))
+                            ELSE [] END AS s
+                FROM w
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
+                            THEN len(list_intersect(a.s, b.s)) * 1.0
+                                 / len(list_distinct(list_concat(a.s, b.s)))
+                            ELSE 0.0 END AS jaccard
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
+            FROM pairs WHERE jaccard >= 0.8
         """,
     }

@@ -78,6 +78,24 @@ def _ensure_bench_tables(spark):
     return spark.read.parquet(tok_path), spark.read.parquet(feat_path)
 
 
+_BUCKETED_TABLE = "bench_tok_bucketed"
+
+
+def _ensure_bucketed(spark, toks):
+    """One-time (per session) bucketed+sorted materialization of the
+    tokenized probe table — untimed setup; queries over it measure the
+    no-exchange repeat-query path."""
+    if _BUCKETED_TABLE in [t.name for t in spark.catalog.listTables()]:
+        return spark.table(_BUCKETED_TABLE)
+    from torchestra_spark.io.sources import write_bucketed
+
+    path = os.path.join(BENCH_DATA, f"tok_bucketed_{N_SEQ}")
+    write_bucketed(
+        toks, _BUCKETED_TABLE, "user_id", CPUS * 4, sort_cols=["user_id", "ts"], path=path
+    )
+    return spark.table(_BUCKETED_TABLE)
+
+
 def bench_queries(spark):
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
@@ -107,6 +125,17 @@ def bench_queries(spark):
 
     def q_window_suite():
         out = lag_lead(toks, "user_id", ["ts", "doc_id"], "n_tok", lags=(1,), leads=(1,))
+        out = sessionize(out, "user_id", ["ts", "doc_id"], gap_sec=3600.0)
+        _noop(out)
+
+    def q_window_bucketed():
+        # same window suite over the entity-bucketed layout: the scan
+        # reports HashPartitioning(user_id), so the plan has NO exchange
+        # — the repeat-query payoff of one bucketed write.  The write
+        # happens lazily on the first timed iteration; min-of-iters
+        # (default 2) reports the steady-state repeat-query time.
+        b = _ensure_bucketed(spark, toks)
+        out = lag_lead(b, "user_id", ["ts", "doc_id"], "n_tok", lags=(1,), leads=(1,))
         out = sessionize(out, "user_id", ["ts", "doc_id"], gap_sec=3600.0)
         _noop(out)
 
@@ -159,6 +188,7 @@ def bench_queries(spark):
         "asof_salted": q_asof_salted,
         "asof_broadcast": q_asof_broadcast,
         "window_suite": q_window_suite,
+        "window_bucketed": q_window_bucketed,
         "scaler_fit_transform": q_scaler_fit_transform,
         "tdigest_fit_transform": q_tdigest_fit_transform,
         "vocab_fit_transform": q_vocab_fit_transform,

@@ -76,3 +76,42 @@ def test_state_reload_produces_identical_vectors(spark, events, feats, tmp_path)
     a = fv1.select("event_id", "value_z").toPandas().sort_values("event_id")
     b = fv2.select("event_id", "value_z").toPandas().sort_values("event_id")
     assert np.allclose(a["value_z"].to_numpy(), b["value_z"].to_numpy(), equal_nan=True)
+
+
+def test_bucketed_layout_removes_exchange(spark, tmp_path):
+    """Window ops and same-bucketed joins over a bucketed table plan
+    with NO Exchange on the bucketed side (the repeat-query payoff of
+    the bucketed feature-store layout)."""
+    from torchestra_spark.io.sources import read_bucketed, write_bucketed
+    from torchestra_spark.operators.temporal import lag_lead
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    write_bucketed(ev, "ev_bucketed", "user_id", 8, sort_cols=["user_id", "ts"],
+                   path=str(tmp_path / "ev_bucketed"))
+    try:
+        b = read_bucketed(spark, "ev_bucketed")
+
+        # 1. entity window op: no exchange before the window sort
+        plan = lag_lead(b, "user_id", "ts", "value", lags=(1,))._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+
+        # 2. groupBy(entity) aggregate: bucketed scan satisfies the
+        #    cluster distribution -> single-stage agg, no exchange
+        plan = b.groupBy("user_id").agg(F.avg("value"))._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "Exchange" not in plan
+
+        # plain parquet scan DOES need the exchange (control)
+        plan = lag_lead(ev, "user_id", "ts", "value", lags=(1,))._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "Exchange hashpartitioning" in plan
+
+        # results identical to the unbucketed path
+        a = lag_lead(ev, "user_id", "ts", "value", lags=(1,)).select(
+            "event_id", "value_lag1").toPandas().sort_values("event_id", ignore_index=True)
+        c = lag_lead(b, "user_id", "ts", "value", lags=(1,)).select(
+            "event_id", "value_lag1").toPandas().sort_values("event_id", ignore_index=True)
+        assert np.allclose(a["value_lag1"], c["value_lag1"], equal_nan=True)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ev_bucketed")

@@ -197,3 +197,40 @@ def test_shared_vocab_fit_is_one_wave(train_df):
         }
     )
     assert pipe.waves == [["c.0", "i.0"]]
+
+
+def test_fused_lookups_single_arrow_crossing(spark):
+    """fused_lookups == the k separate op.expr results, and the plan
+    contains exactly ONE ArrowEvalPython stage (k=3 unfused has 3)."""
+    from torchestra_spark.operators.lookups import fused_lookups
+    from torchestra_spark.plans.pipeline import Feature, Pipeline
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "cat": ["a", "b", "a", "c", "a", "b"],
+                "grp": ["x", "x", "y", "y", "y", "y"],
+                "num": [1, 2, 1, 1, 3, 1],
+            }
+        )
+    )
+    c, r, ix = CountLookup(), RatioLookup(), IndexLookup()
+    pipe = Pipeline(
+        {"cat_cnt": Feature("cat", [c]), "grp_ratio": Feature("grp", [r]),
+         "cat_idx": Feature("cat", [ix])}
+    )
+    pipe.fit(df)
+    base = pipe.transform(df).orderBy("num", "cat", "grp").collect()
+    fused = fused_lookups(
+        df, {"cat_cnt": (c, "cat"), "grp_ratio": (r, "grp"), "cat_idx": (ix, "cat")}
+    ).orderBy("num", "cat", "grp").collect()
+    for b, f in zip(base, fused):
+        assert b["cat_cnt"] == f["cat_cnt"]
+        assert abs(b["grp_ratio"] - f["grp_ratio"]) < 1e-12
+        assert b["cat_idx"] == f["cat_idx"]
+
+    fused_df = fused_lookups(
+        df, {"cat_cnt": (c, "cat"), "grp_ratio": (r, "grp"), "cat_idx": (ix, "cat")}
+    )
+    plan = fused_df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1

@@ -151,3 +151,50 @@ def test_mixed_kind_wave(spark):
     r = out.orderBy("x").collect()
     assert abs(r[50]["q"] - 0.5) < 0.05
     assert r[0]["i"] in (2, 3)
+
+
+def test_bind_time_type_validation(spark):
+    """Composition type errors raise at fit-bind time, before any job
+    (reference asserts adjacent module types, _pipes.py:143-146)."""
+    import pytest
+
+    from torchestra_spark.operators.lookups import CountLookup, IntCountLookup
+    from torchestra_spark.operators.scalers import StandardScore
+    from torchestra_spark.operators.sequences import SparseLen
+
+    df = spark.createDataFrame([(1, "a", [1, 2])], "n int, s string, arr array<int>")
+    # string lookup on a numeric column
+    with pytest.raises(TypeError, match="CountLookup"):
+        Pipeline({"x": Feature("n", [CountLookup()])}).fit(df)
+    # int lookup on a string column
+    with pytest.raises(TypeError, match="IntCountLookup"):
+        Pipeline({"x": Feature("s", [IntCountLookup()])}).fit(df)
+    # scaler on a string column
+    with pytest.raises(TypeError, match="StandardScore"):
+        Pipeline({"x": Feature("s", [StandardScore()])}).fit(df)
+    # sequence op on a scalar column
+    with pytest.raises(TypeError, match="SparseLen"):
+        Pipeline({"x": Feature("n", [SparseLen()])}).fit(df)
+    # chain propagation: SparseLen emits numeric, CountLookup needs string
+    with pytest.raises(TypeError, match="CountLookup"):
+        Pipeline({"x": Feature("arr", [SparseLen(), CountLookup()])}).fit(df)
+    # missing source column
+    with pytest.raises(ValueError, match="neither a feature nor a column"):
+        Pipeline({"x": Feature("nope", [StandardScore()])}).fit(df)
+    # valid chains still bind
+    Pipeline({"x": Feature("arr", [SparseLen(), StandardScore()])}).fit(df)
+    Pipeline({"x": Feature("s", [CountLookup()])}).fit(df)
+
+
+def test_combine_features_collision():
+    from torchestra_spark.operators.scalers import StandardScore
+    from torchestra_spark.plans.pipeline import combine_features
+
+    a = {"x": Feature("c1", [StandardScore()])}
+    b = {"y": Feature("c2", [StandardScore()])}
+    merged = combine_features(a, b)
+    assert set(merged) == {"x", "y"}
+    import pytest
+
+    with pytest.raises(ValueError, match="duplicate feature name 'x'"):
+        combine_features(a, {"x": Feature("c3")})

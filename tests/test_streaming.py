@@ -84,3 +84,43 @@ def test_stream_windowed_stats(spark, events_stream, events_batch):
     )
     assert got["n"].sum() == len(events_batch.toPandas())
     assert len(got) == len(exp)
+
+
+def test_stream_sessionize_ids_match_batch(spark, tmp_path_factory):
+    """Per-event stream session ids == batch sessionize ids, across
+    MULTIPLE micro-batches (state carries last_ts/session_id between
+    them).  Files are written in time order so the bounded source
+    replays an in-order stream."""
+    import time as _time
+
+    import pandas as pd
+
+    from torchestra_spark.operators.temporal import sessionize
+    from torchestra_spark.streaming import stream_sessionize_ids
+
+    batch = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "user_id", "ts")
+    pdf = batch.toPandas().sort_values("ts", ignore_index=True)
+    d = tmp_path_factory.mktemp("sess_dir")
+    # 3 time-sliced files, written oldest-first (file source orders by mtime)
+    cuts = np.array_split(np.arange(len(pdf)), 3)
+    for i, idx in enumerate(cuts):
+        spark.createDataFrame(pdf.iloc[idx]).coalesce(1).write.parquet(str(d / f"s{i}"))
+        _time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    gap = 6 * 3600.0
+    out = stream_sessionize_ids(stream, "user_id", "ts", gap_sec=gap)
+    got = run_to_memory(out, "t_sess_ids", spark).toPandas().sort_values(
+        "event_id", ignore_index=True
+    )
+    exp = (
+        sessionize(batch, "user_id", ["ts", "event_id"], gap_sec=gap)
+        .select("event_id", "session_id")
+        .toPandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["session_id"].to_numpy() == exp["session_id"].to_numpy()).all()

@@ -152,6 +152,7 @@ def test_sessionize(events, events_pd):
 
 def test_asof_skew_entity(spark, feats, feats_pd):
     # hot entity: 500 probe rows on one user — salted and unsalted agree
+    # (salt_threshold=100 forces the hot path for this key)
     probe = pd.DataFrame(
         {
             "event_id": np.arange(500),
@@ -163,12 +164,39 @@ def test_asof_skew_entity(spark, feats, feats_pd):
     a = asof_join(lt, feats, on="user_id", left_ts="ts", right_ts="feature_ts",
                   value_cols=["fval"]).toPandas().sort_values("event_id", ignore_index=True)
     b = asof_join(lt, feats, on="user_id", left_ts="ts", right_ts="feature_ts",
-                  value_cols=["fval"], salt_buckets=8).toPandas().sort_values(
-        "event_id", ignore_index=True
-    )
+                  value_cols=["fval"], salt_buckets=8, salt_threshold=100).toPandas(
+    ).sort_values("event_id", ignore_index=True)
     assert np.allclose(a["fval"].to_numpy(), b["fval"].to_numpy(), equal_nan=True)
     exp = _oracle_asof(probe, feats_pd)
     assert np.allclose(a["fval"].to_numpy(), exp["fval"].to_numpy(), equal_nan=True)
+
+
+def test_asof_salt_mixed_hot_cold(spark, feats, feats_pd):
+    # hot user 0 (300 rows) + cold users 1..5 (3 rows each): the salted
+    # plan must replicate features only for the hot key and still match
+    # the pandas oracle on every row
+    hot = pd.DataFrame(
+        {
+            "event_id": np.arange(300),
+            "user_id": np.zeros(300, dtype=np.int64),
+            "ts": pd.Timestamp("2026-01-01") + pd.to_timedelta(np.arange(300) * 131, unit="m"),
+        }
+    )
+    cold = pd.DataFrame(
+        {
+            "event_id": 300 + np.arange(15),
+            "user_id": np.repeat(np.arange(1, 6), 3),
+            "ts": pd.Timestamp("2026-01-10") + pd.to_timedelta(np.arange(15) * 7, unit="h"),
+        }
+    )
+    probe = pd.concat([hot, cold], ignore_index=True)
+    lt = spark.createDataFrame(probe)
+    out = asof_join(lt, feats, on="user_id", left_ts="ts", right_ts="feature_ts",
+                    value_cols=["fval"], salt_buckets=4, salt_threshold=100)
+    got = out.toPandas().sort_values("event_id", ignore_index=True)
+    exp = _oracle_asof(probe, feats_pd)
+    assert len(got) == len(exp)
+    assert np.allclose(got["fval"].to_numpy(), exp["fval"].to_numpy(), equal_nan=True)
 
 
 def test_asof_broadcast_strategy(events, feats, events_pd, feats_pd):

@@ -212,10 +212,49 @@ def test_multimodal_decode_plumbing(spark):
     assert np.allclose(np.asarray(out.loc[2, "features"]), np.zeros(16))
 
 
-def test_multimodal_real_decoder_stubbed(spark):
-    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "payload": [b"x"]}))
+def test_multimodal_real_decoder_unsupported_format(spark):
+    # png/jpeg/video still raise at the PIL/ffmpeg integration point
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "payload": [b"\x89PNG then junk"]}))
     with pytest.raises(Exception):  # NotImplementedError surfaces via Py4J
         M.decode_features(df, decoder="real").collect()
+
+
+def test_bmp_roundtrip_exact():
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(5, 3, 3), dtype=np.uint8)  # w=3 -> row padding
+    lum = M.decode_bmp(M.encode_bmp(px))
+    bgr = px.astype(np.float32) / 255.0
+    exp = bgr[:, :, 0] * 0.299 + bgr[:, :, 1] * 0.587 + bgr[:, :, 2] * 0.114
+    assert lum.shape == (5, 3)
+    assert np.allclose(lum, exp, atol=1e-6)
+
+
+def test_wav_roundtrip_exact():
+    t = np.linspace(0, 1, 160)
+    samples = 0.5 * np.sin(2 * np.pi * 5 * t)
+    got = M.decode_wav(M.encode_wav(samples, sample_rate=16000))
+    pcm16 = (np.clip(samples, -1, 1) * 32767.0).astype("<i2")
+    assert np.allclose(got, pcm16.astype(np.float32) / 32768.0)
+
+
+def test_real_decode_features_golden(spark):
+    """Exact-golden: mean-pooled luminance / PCM buckets match numpy."""
+    px = np.full((4, 4, 3), 255, dtype=np.uint8)  # white image -> luminance 1.0
+    wav = M.encode_wav(np.ones(64) * 0.25)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "payload": [M.encode_bmp(px), wav]})
+    )
+    rows = {r["doc_id"]: r["features"] for r in M.decode_features(df, n_features=4, decoder="real").collect()}
+    assert np.allclose(rows[1], [1.0] * 4, atol=1e-5)
+    exp_wav = float(np.int16(0.25 * 32767) / 32768.0)
+    assert np.allclose(rows[2], [exp_wav] * 4, atol=1e-6)
+    # pooling golden on a ramp signal
+    ramp = M._pool_features(np.arange(8, dtype=np.float64), 4)
+    assert np.allclose(ramp, [0.5, 2.5, 4.5, 6.5])
+    # n > signal length: empty buckets are zero (floor edges place the
+    # single element in the last bucket: [0,0),[0,0),[0,1))
+    short = M._pool_features(np.array([2.0]), 3)
+    assert short.tolist() == [0.0, 0.0, 2.0]
 
 
 def test_frame_sampling(spark):
@@ -242,3 +281,80 @@ def test_ivf_ann(spark, embs):
     m = a1.merge(a2, on="vec_id")
     assert (m["ivf_cell_x"] == m["ivf_cell_y"]).all()
     assert a1["ivf_cell"].between(0, 7).all()
+
+
+def test_lsh_bucket_cap_degenerate_corpus(spark):
+    """1k identical docs would generate ~500k candidate pairs per band
+    without the cap; with it, candidate generation completes with zero
+    pairs from the mega-bucket while a normal corpus is unaffected."""
+    n = 1000
+    degenerate = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(n), "text": ["same boilerplate text here"] * n})
+    )
+    sigs = D.minhash_signatures(degenerate, "text", "doc_id", k=16, shingle_n=2)
+    capped = D.lsh_candidate_pairs(sigs, "doc_id", bands=8, max_bucket_size=100)
+    assert capped.count() == 0  # mega-bucket dropped, no quadratic pair set
+
+    # normal corpus: cap far above bucket sizes -> candidates unchanged
+    texts = [f"unique document number {i} with words {i * 7} {i * 13}" for i in range(50)]
+    texts[10] = texts[40]  # one planted dup pair
+    normal = spark.createDataFrame(pd.DataFrame({"doc_id": range(50), "text": texts}))
+    nsigs = D.minhash_signatures(normal, "text", "doc_id", k=16, shingle_n=2)
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs(nsigs, "doc_id", bands=8, max_bucket_size=None).collect()
+    }
+    with_cap = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs(nsigs, "doc_id", bands=8, max_bucket_size=100).collect()
+    }
+    assert with_cap == uncapped
+    assert (10, 40) in with_cap
+
+
+def test_minhash_dedup_verified_matches_exact_jaccard(spark):
+    """Verified pipeline output == exact all-pairs jaccard >= threshold."""
+    texts = [f"doc {i} alpha beta gamma delta {i * 3} {i * 11}" for i in range(30)]
+    texts[5] = texts[20] + " tail"  # near-dup pair
+    texts[7] = texts[7]
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(30), "text": texts}))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_dedup_verified(
+            df, "text", "doc_id", k=64, bands=32, shingle_n=2, threshold=0.6
+        ).collect()
+    }
+    # numpy oracle: exact bigram jaccard over all pairs
+    def bigrams(t):
+        ws = [w for w in t.lower().split() if w]
+        return set(" ".join(ws[i : i + 2]) for i in range(len(ws) - 1))
+
+    exp = set()
+    for i in range(30):
+        for j in range(i + 1, 30):
+            a, b = bigrams(texts[i]), bigrams(texts[j])
+            u = a | b
+            if u and len(a & b) / len(u) >= 0.6:
+                exp.add((i, j))
+    assert got == exp
+    assert (5, 20) in exp
+
+
+def test_ann_full_probe_equals_brute_force(spark, embs):
+    q = [r["embedding"] for r in embs.orderBy("vec_id").limit(1).collect()][0]
+    exact = [r["vec_id"] for r in S.brute_force_topk(embs, "embedding", q, k=5).collect()]
+    full = [
+        r["vec_id"]
+        for r in S.ann_topk(embs, "embedding", q, k=5, n_planes=4, n_probes=16).collect()
+    ]
+    assert full == exact
+
+
+def test_probe_masks_ordering():
+    margins = np.array([0.1, 5.0, 0.2])
+    masks = S._probe_masks(margins, 8).tolist()
+    assert masks[0] == 0  # home bucket first
+    assert masks[1] == 1  # cheapest single flip (plane 0, margin .1)
+    assert masks[2] == 4  # next (plane 2, margin .2)
+    assert masks[3] == 5  # cheapest 2-bit combo (.1+.2) before plane 1 (5.0)
+    assert len(masks) == 8 and len(set(masks)) == 8

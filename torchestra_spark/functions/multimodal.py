@@ -59,6 +59,135 @@ def attach_media_metadata(
     )
 
 
+# --------------------------------------------------------- real codecs
+# Pure-numpy decoders for the two container formats that need no
+# external codec library: uncompressed 24-bit BMP and 16-bit PCM WAV.
+# This makes decoder="real" a working path in this environment; other
+# formats (png/jpeg/mp4/...) remain the documented integration stub.
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> uncompressed 24-bit BMP bytes (BI_RGB,
+    bottom-up rows, 4-byte row padding) — test/synthesis helper."""
+    import struct
+
+    h, w, _ = pixels.shape
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    data_size = (row + pad) * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + data_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0)
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up
+        bgr = pixels[y, :, ::-1].tobytes()  # RGB -> BGR
+        rows.append(bgr + b"\x00" * pad)
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP -> (h, w) float32 luminance in [0,1]."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    bottom_up = h > 0
+    h = abs(h)
+    row = w * 3
+    stride = row + (4 - row % 4) % 4
+    buf = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
+    rows = buf.reshape(h, stride)[:, :row].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    bgr = rows.astype(np.float32) / 255.0
+    return bgr[:, :, 2] * 0.299 + bgr[:, :, 1] * 0.587 + bgr[:, :, 0] * 0.114
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """float samples in [-1,1] -> 16-bit PCM mono WAV bytes."""
+    import struct
+
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm16 = (pcm * 32767.0).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm16))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(pcm16))
+        + pcm16
+    )
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """16-bit PCM WAV -> float32 mono samples in [-1,1] (channels
+    averaged)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    channels, bits = 1, 16
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, channels, _sr, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt_tag != 1 or bits != 16:
+                raise NotImplementedError("only 16-bit PCM WAV supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if data is None:
+        raise ValueError("WAV has no data chunk")
+    pcm = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    if channels > 1:
+        pcm = pcm[: len(pcm) // channels * channels].reshape(-1, channels).mean(axis=1)
+    return pcm
+
+
+def _pool_features(signal: np.ndarray, n: int) -> np.ndarray:
+    """Mean-pool a 1-D signal into n equal buckets (deterministic,
+    length-independent feature vector)."""
+    if signal.size == 0:
+        return np.zeros(n, dtype=np.float32)
+    edges = np.linspace(0, signal.size, n + 1).astype(np.int64)
+    sums = np.add.reduceat(
+        signal.astype(np.float64), np.minimum(edges[:-1], signal.size - 1)
+    )
+    counts = np.maximum(np.diff(edges), 1)
+    # reduceat quirk: repeated indices return the single element
+    out = np.where(np.diff(edges) > 0, sums / counts, 0.0)
+    return out.astype(np.float32)
+
+
+def _real_decode(payload: bytes, n: int) -> np.ndarray:
+    """Sniff the container by magic bytes and decode with the pure-numpy
+    codec; unsupported formats raise NotImplementedError (png/jpeg/video
+    need PIL/ffmpeg — the documented integration point)."""
+    if payload is None or len(payload) == 0:
+        return np.zeros(n, dtype=np.float32)
+    if payload[:2] == b"BM":
+        return _pool_features(decode_bmp(payload).ravel(), n)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _pool_features(decode_wav(payload), n)
+    raise NotImplementedError(
+        "real decoding supports uncompressed BMP and 16-bit PCM WAV here; "
+        "png/jpeg/video require PIL/ffmpeg (not available in this environment)"
+    )
+
+
 def _fake_decode(payload: bytes, n: int) -> np.ndarray:
     """Deterministic stand-in for a codec: n float32 features derived
     from the payload bytes (stable across partitioning/retries)."""
@@ -78,21 +207,21 @@ def decode_features(
 ) -> DataFrame:
     """payload binary -> features array<float>[n_features].
 
-    decoder='real' is the integration point for PIL / torchvision /
-    ffmpeg — not available in this container, raises NotImplementedError.
+    decoder='real' decodes uncompressed BMP and 16-bit PCM WAV with the
+    pure-numpy codecs above (luminance / PCM samples mean-pooled into
+    ``n_features`` buckets); other containers raise NotImplementedError
+    at the PIL/ffmpeg integration point.  decoder='fake' remains the
+    deterministic stand-in for formats that need external codecs.
     """
     if decoder not in ("fake", "real"):
         raise ValueError(decoder)
     id_type = df.schema[id_col].dataType.simpleString()
     sel = df.select(F.col(id_col).alias("__id"), F.col(payload_col).alias("__p"))
+    kernel = _real_decode if decoder == "real" else _fake_decode
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError(
-                    "real media decoding requires PIL/ffmpeg; not available here"
-                )
-            feats = [_fake_decode(p, n_features) for p in pdf["__p"]]
+            feats = [kernel(p, n_features) for p in pdf["__p"]]
             yield pd.DataFrame({"__id": pdf["__id"], "features": feats})
 
     out = sel.mapInPandas(decode, f"__id {id_type}, features array<float>")

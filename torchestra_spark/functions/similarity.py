@@ -97,6 +97,21 @@ def _bucket_of(query: np.ndarray, P: np.ndarray, weights: np.ndarray) -> int:
     return int(((query @ P) > 0) @ weights)
 
 
+def _probe_masks(margins: np.ndarray, n_probes: int) -> np.ndarray:
+    """Multi-probe perturbation masks ordered by flip cost (sum of the
+    flipped planes' |margins|): mask 0 (the home bucket) first, then
+    single near-plane flips, then multi-bit combinations.  Enumerates
+    all 2**n_planes masks driver-side — n_planes is small (<=20) by
+    construction since buckets number 2**n_planes."""
+    n_planes = len(margins)
+    n_masks = 1 << n_planes
+    n_probes = min(int(n_probes), n_masks)
+    masks = np.arange(n_masks, dtype=np.int64)
+    bits = (masks[:, None] >> np.arange(n_planes)[None, :]) & 1
+    cost = bits @ margins
+    return masks[np.argsort(cost, kind="stable")[:n_probes]]
+
+
 def ann_topk(
     df: DataFrame,
     vec_col: str,
@@ -107,19 +122,19 @@ def ann_topk(
     n_probes: int = 1,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: probe the query's hyperplane bucket (and the
-    ``n_probes-1`` single-bit-flip neighbor buckets), exact cosine
-    re-rank inside.  Scans only matching buckets — with a bucketed /
-    partitioned layout this prunes at the scan."""
+    """Approximate top-k: probe the query's hyperplane bucket plus the
+    ``n_probes-1`` most likely neighbor buckets (multi-probe LSH:
+    bucket ids ranked by the summed |margin| of their flipped planes —
+    near-plane flips first), exact cosine re-rank inside.  Scans only
+    matching buckets — with a bucketed / partitioned layout this prunes
+    at the scan.  ``n_probes >= 2**n_planes`` probes every bucket,
+    making the result exactly brute-force top-k (the recall-1.0
+    correctness configuration)."""
     q = np.asarray(list(query), dtype=np.float64)
     P = _planes(len(q), n_planes, seed)
     weights = (1 << np.arange(n_planes, dtype=np.int64))
     base = _bucket_of(q, P, weights)
-    probes: List[int] = [base]
-    if n_probes > 1:
-        margins = np.abs(q @ P)  # closest planes first: likeliest flips
-        for i in np.argsort(margins)[: n_probes - 1]:
-            probes.append(base ^ (1 << int(i)))
+    probes = [base ^ int(m) for m in _probe_masks(np.abs(q @ P), n_probes)]
     bucketed = lsh_buckets(df, vec_col, len(q), n_planes, seed)
     cand = bucketed.filter(F.col("bucket").isin(probes))
     return brute_force_topk(cand, vec_col, list(q), k=k, id_col=id_col)

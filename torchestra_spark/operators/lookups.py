@@ -148,6 +148,68 @@ def eliminator_from_state(state: Dict[str, Any]) -> Eliminator:
 _BROADCAST_MIN = 1024  # below this, ship the dict in the UDF closure
 
 
+class MappingSpec:
+    """The portable essence of a fitted lookup: (dict, OOV default,
+    output Spark type, int-keyed?).  Lets k lookups fuse into ONE Arrow
+    crossing (``fused_lookups``) instead of k pandas UDF stages — the
+    reference's operator-stacking rationale (MeanScale.stack,
+    _normalization.py:71-88) applied to the transform side."""
+
+    def __init__(self, mapping: Dict[Any, Any], default: Any, out_type: str, int_keys: bool):
+        self.mapping = mapping
+        self.default = default
+        self.out_type = out_type
+        self.int_keys = int_keys
+
+
+def fused_lookups(df: "DataFrame", outputs: Dict[str, tuple]) -> "DataFrame":
+    """Apply k fitted lookups in ONE pandas UDF / ONE Arrow crossing.
+
+    ``outputs`` maps output column name -> (fitted lookup op, input
+    column name).  All k broadcast dicts ride one TorrentBroadcast; the
+    UDF returns a struct of the k results which is unpacked into plain
+    columns (Catalyst collapses the projection).  With k separate
+    ``op.expr`` columns the frame crosses the JVM<->Arrow boundary k
+    times; fused it crosses once — the difference is ~k× UDF overhead
+    on wide feature sets.
+    """
+    spark = SparkSession.getActiveSession()
+    names = list(outputs.keys())
+    specs = []
+    in_cols = []
+    for out in names:
+        op, col_name = outputs[out]
+        specs.append(op.mapping_spec())
+        in_cols.append(F.col(col_name))
+    payload = [(s.mapping, s.default, s.out_type, s.int_keys) for s in specs]
+    bc = None
+    if spark is not None and sum(len(s.mapping) for s in specs) >= _BROADCAST_MIN:
+        bc = spark.sparkContext.broadcast(payload)
+
+    fields = ", ".join(f"`{out}` {s.out_type}" for out, s in zip(names, specs))
+
+    @F.pandas_udf(fields)
+    def _apply(*cols: pd.Series) -> pd.DataFrame:
+        ps = bc.value if bc is not None else payload
+        data = {}
+        for out, (d, default, out_type, int_keys), s in zip(names, ps, cols):
+            if int_keys:
+                s = s.astype("int64")
+            o = s.map(d)
+            if default is not None:
+                o = o.fillna(default)
+            if out_type == "bigint":
+                o = o.astype("int64")
+            data[out] = o
+        return pd.DataFrame(data)
+
+    tmp = "__fused"
+    out_df = df.withColumn(tmp, _apply(*in_cols))
+    for out in names:
+        out_df = out_df.withColumn(out, F.col(f"{tmp}.{out}"))
+    return out_df.drop(tmp)
+
+
 def _map_udf(vocab: Dict[str, Any], default: Any, out_type: str, int_keys: bool) -> "F.udf":
     """Arrow-vectorized dict application.  Large vocabularies ride a
     TorrentBroadcast instead of the task closure."""
@@ -177,6 +239,8 @@ class CountLookup(FittedTransform):
 
     fit_kind = FitKind.VOCAB
     int_keys = False
+    input_kinds = ("string",)
+    output_kind = "numeric"
 
     def __init__(self, eliminator: Optional[Eliminator] = None):
         super().__init__()
@@ -195,6 +259,10 @@ class CountLookup(FittedTransform):
         self._require_fitted()
         return _map_udf(self.counts, 0, "bigint", self.int_keys)(col)
 
+    def mapping_spec(self) -> "MappingSpec":
+        self._require_fitted()
+        return MappingSpec(self.counts, 0, "bigint", self.int_keys)
+
     def get_state(self) -> Dict[str, Any]:
         return {"counts": self.counts, "total": self.total, "eliminator": self.eliminator.get_state()}
 
@@ -210,6 +278,8 @@ class RatioLookup(FittedTransform):
 
     fit_kind = FitKind.VOCAB
     int_keys = False
+    input_kinds = ("string",)
+    output_kind = "numeric"
 
     def __init__(self, eliminator: Optional[Eliminator] = None):
         super().__init__()
@@ -229,6 +299,10 @@ class RatioLookup(FittedTransform):
         if self.total == 0:
             return F.lit(0.0)
         return _map_udf(self.ratios, 0.0, "double", self.int_keys)(col)
+
+    def mapping_spec(self) -> "MappingSpec":
+        self._require_fitted()
+        return MappingSpec(self.ratios, 0.0, "double", self.int_keys)
 
     def get_state(self) -> Dict[str, Any]:
         return {"ratios": self.ratios, "total": self.total, "eliminator": self.eliminator.get_state()}
@@ -251,6 +325,8 @@ class IndexLookup(FittedTransform):
 
     fit_kind = FitKind.VOCAB
     int_keys = False
+    input_kinds = ("string",)
+    output_kind = "numeric"
 
     def __init__(
         self,
@@ -290,6 +366,10 @@ class IndexLookup(FittedTransform):
         self._require_fitted()
         return _map_udf(self.lookup, self.unknown_idx, "bigint", self.int_keys)(col)
 
+    def mapping_spec(self) -> "MappingSpec":
+        self._require_fitted()
+        return MappingSpec(self.lookup, self.unknown_idx, "bigint", self.int_keys)
+
     def get_state(self) -> Dict[str, Any]:
         return {
             "lookup": self.lookup,
@@ -321,6 +401,7 @@ class IntCountLookup(CountLookup):
     _lookups.py:310-314 equal dict-default-0)."""
 
     int_keys = True
+    input_kinds = ("numeric",)
 
     def fit_finalize(self, pruned_counts: Dict[str, int]) -> None:
         int_counts = {int(k): v for k, v in pruned_counts.items()}
@@ -346,6 +427,7 @@ class IntRatioLookup(RatioLookup):
     """int -> count/total — _lookups.py:317-373."""
 
     int_keys = True
+    input_kinds = ("numeric",)
 
     def fit_finalize(self, pruned_counts: Dict[str, int]) -> None:
         int_counts = {int(k): v for k, v in pruned_counts.items()}
@@ -374,6 +456,7 @@ class IntIndexLookup(IndexLookup):
     rules, key ordering on str(key) (_lookups.py:454-455)."""
 
     int_keys = True
+    input_kinds = ("numeric",)
 
     def dictionary_size(self) -> int:
         # _lookups.py:411-418

@@ -66,6 +66,8 @@ class MeanScale(FittedTransform):
     """
 
     fit_kind = FitKind.SCALAR_AGG
+    input_kinds = ("numeric", "boolean")
+    output_kind = "numeric"
 
     def __init__(self) -> None:
         super().__init__()
@@ -98,6 +100,8 @@ class MinMaxScale(FittedTransform):
     """(x - min) / (max - min) — reference _normalization.py:94-174."""
 
     fit_kind = FitKind.SCALAR_AGG
+    input_kinds = ("numeric", "boolean")
+    output_kind = "numeric"
 
     def __init__(self) -> None:
         super().__init__()
@@ -137,6 +141,8 @@ class StandardScore(FittedTransform):
     """
 
     fit_kind = FitKind.SCALAR_AGG
+    input_kinds = ("numeric", "boolean")
+    output_kind = "numeric"
 
     def __init__(self, ddof: int = 1):
         super().__init__()
@@ -181,6 +187,8 @@ class _SketchOp(FittedTransform):
     """
 
     fit_kind = FitKind.SKETCH
+    input_kinds = ("numeric", "boolean")
+    output_kind = "numeric"
 
     def __init__(self, compression: float = 1000.0):
         super().__init__()
@@ -243,9 +251,37 @@ class RobustScale(_SketchOp):
     The digest is only used at finalize to extract q25/q50/q75
     (_normalization.py:685-688); the transform itself is a pure Column
     expression with two literal parameters.
+
+    ``exact=True`` swaps the t-digest sketch for Spark's exact
+    ``percentile`` aggregate (sort-based, linear interpolation — the
+    ANSI/NumPy-linear definition DuckDB's ``quantile_cont`` shares, so
+    results are SQL-oracle-checkable).  Exact percentiles shuffle the
+    column per group; the sketch stays the default for 100 TB fits.
     """
 
-    def fit_finalize(self, partials: List[DigestState]) -> None:
+    def __init__(self, compression: float = 1000.0, exact: bool = False):
+        super().__init__(compression)
+        self.exact = bool(exact)
+        self.median = 0.0
+        self.iqr = 1.0
+        if self.exact:
+            self.fit_kind = FitKind.SCALAR_AGG  # instance override
+
+    def fit_aggs(self, col: Column) -> Dict[str, Column]:
+        c = col.cast("double")
+        return {
+            "med": F.percentile(c, F.lit(0.5)),
+            "q1": F.percentile(c, F.lit(0.25)),
+            "q3": F.percentile(c, F.lit(0.75)),
+        }
+
+    def fit_finalize(self, stats: Any) -> None:
+        if self.exact:
+            self.median = _stat(stats, "med")
+            self.iqr = _stat(stats, "q3") - _stat(stats, "q1")
+            self._fitted = True
+            return
+        partials: List[DigestState] = stats
         t = self.merge_partials(partials)
         self._td.finalize(t)
         self.median = float(self._td.quantile(t, np.array([0.5]))[0])
@@ -259,11 +295,19 @@ class RobustScale(_SketchOp):
         return _scale_expr(col, self.median, self.iqr)
 
     def get_state(self) -> Dict[str, Any]:
-        return {"compression": self.compression, "median": self.median, "iqr": self.iqr}
+        return {
+            "compression": self.compression,
+            "median": self.median,
+            "iqr": self.iqr,
+            "exact": self.exact,
+        }
 
     def set_state(self, state: Dict[str, Any]) -> None:
         self.compression = float(state["compression"])
         self._td = TDigest(self.compression)
         self.median = float(state["median"])
         self.iqr = float(state["iqr"])
+        self.exact = bool(state.get("exact", False))
+        if self.exact:
+            self.fit_kind = FitKind.SCALAR_AGG
         self._fitted = True

@@ -28,6 +28,9 @@ class SparseLen(Transform):
     """Per-row sequence length (end - begin) — _sparse_slices.py:63-69.
     On ArrayType this is ``size()`` (== the n_tok column invariant)."""
 
+    input_kinds = ("array",)
+    output_kind = "numeric"
+
     def expr(self, col: Column) -> Column:
         return F.size(col)
 
@@ -36,6 +39,8 @@ class SparseTrunc(Transform):
     """Truncate each sequence to at most `length` — _sparse_slices.py:72-87
     (offset arithmetic ``end = min(begin+len, end)``, :26-42; on ArrayType
     a slice)."""
+
+    input_kinds = ("array",)
 
     def __init__(self, length: int):
         self.length = int(length)
@@ -55,6 +60,8 @@ class SparseValues(Transform):
     ArrayType the array column *is* (values, offsets); identity here,
     with ``flatten_values`` below for an exploded flat view."""
 
+    input_kinds = ("array",)
+
     def expr(self, col: Column) -> Column:
         return col
 
@@ -66,6 +73,8 @@ class SparseTruncPad(Transform):
     ``elem_type`` is the Spark element type used to cast the pad value
     (the reference infers it from the tensor dtype).
     """
+
+    input_kinds = ("array",)
 
     def __init__(self, length: int, value: Union[int, float] = 0, elem_type: str = "int"):
         self.length = int(length)
@@ -89,6 +98,9 @@ class SparseMapSequences(Transform):
     Arrow-batched pandas UDF (the reference's own implementation is a
     per-row python loop; ours at least batches the Arrow transfer).
     """
+
+    input_kinds = ("array",)
+    output_kind = "numeric"
 
     def __init__(
         self,

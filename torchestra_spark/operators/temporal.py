@@ -53,6 +53,7 @@ def asof_join(
     tolerance_sec: Optional[float] = None,
     strategy: str = "union",
     salt_buckets: int = 1,
+    salt_threshold: Optional[int] = None,
     keep_right_ts: bool = True,
 ) -> DataFrame:
     """Backward as-of join: for every left row, attach the latest right
@@ -61,6 +62,12 @@ def asof_join(
 
     Leakage-free by construction: joined values only ever come from
     right rows at or before the probe timestamp.
+
+    Skew (``salt_buckets > 1``, union strategy): salting is applied only
+    to **hot entities** — those with ``>= salt_threshold`` probe rows
+    (default ``DEFAULT_SALT_THRESHOLD``).  Cold entities keep the plain
+    single-bucket path, so the feature side is replicated xN only for
+    the handful of keys that need it instead of the whole table.
     """
     value_cols = list(
         value_cols
@@ -69,7 +76,8 @@ def asof_join(
     )
     if strategy == "union":
         return _asof_union(
-            left, right, on, left_ts, right_ts, value_cols, tolerance_sec, salt_buckets, keep_right_ts
+            left, right, on, left_ts, right_ts, value_cols, tolerance_sec,
+            salt_buckets, salt_threshold, keep_right_ts,
         )
     if strategy == "merge_asof":
         return _asof_merge(
@@ -82,6 +90,24 @@ def asof_join(
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
+# Probe rows per entity above which a key counts as hot and gets salted.
+# A cold entity's window partition sorts fine in one task; only keys
+# beyond this actually skew a 1000-executor shuffle.
+DEFAULT_SALT_THRESHOLD = 1_000_000
+
+
+def _hot_keys(left: DataFrame, on: str, threshold: int) -> DataFrame:
+    """Entities with >= threshold probe rows.  One map-side-combined
+    count per key; the result is <= total_rows/threshold keys — small
+    by construction, so broadcasting it is always safe."""
+    return (
+        left.groupBy(on)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= threshold)
+        .select(F.col(on).alias("__hot_key"))
+    )
+
+
 def _asof_union(
     left: DataFrame,
     right: DataFrame,
@@ -91,6 +117,7 @@ def _asof_union(
     value_cols: List[str],
     tolerance_sec: Optional[float],
     salt_buckets: int,
+    salt_threshold: Optional[int],
     keep_right_ts: bool,
 ) -> DataFrame:
     """Union-tag + fill-forward: one shuffle, no UDF.
@@ -140,13 +167,31 @@ def _asof_union(
         ).alias("__fv"),
     )
     if salted:
-        # probe rows route to hash(ts) % N buckets; each feature row is
-        # replicated into all N buckets, so every bucket sees the full
-        # feature history and point-in-time order is preserved
-        lhs = lhs.withColumn(bucket, F.pmod(F.xxhash64(F.col(ts)), F.lit(salt_buckets)))
-        rhs = rhs.withColumn(
-            bucket, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<bigint>"))
-        )
+        # Skew-aware salting: ONLY hot entities (probe rows >=
+        # salt_threshold) are split — their probe rows route to
+        # hash(ts) % N buckets and their feature rows replicate into all
+        # N buckets (each bucket sees the full feature history, so
+        # point-in-time order is preserved).  Cold entities stay in
+        # bucket 0 unreplicated — at a zipf distribution this keeps
+        # feature shuffle volume ~1x instead of xN.
+        hot = F.broadcast(_hot_keys(left, on, salt_threshold or DEFAULT_SALT_THRESHOLD))
+        zero = F.lit(0).cast("bigint")
+        lhs = lhs.join(hot, lhs[on] == hot["__hot_key"], "left").withColumn(
+            bucket,
+            F.when(
+                F.col("__hot_key").isNotNull(),
+                F.pmod(F.xxhash64(F.col(ts)), F.lit(salt_buckets)),
+            ).otherwise(zero),
+        ).drop("__hot_key")
+        rhs = rhs.join(hot, rhs[on] == hot["__hot_key"], "left").withColumn(
+            bucket,
+            F.explode(
+                F.when(
+                    F.col("__hot_key").isNotNull(),
+                    F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<bigint>"),
+                ).otherwise(F.array(zero))
+            ),
+        ).drop("__hot_key")
         part = [on, bucket]
     else:
         part = [on]
@@ -240,7 +285,11 @@ def _asof_merge(
     return out
 
 
-_BROADCAST_MAX_ROWS = 50_000_000  # ~GBs of f64 arrays; guardrail, not a tuning knob
+# Broadcast guardrail: each feature row costs ~8B (ts) + 8-ish B per
+# value column as contiguous numpy arrays, plus the entity index.  5M
+# rows ~ a few hundred MB per executor — the realistic ceiling for a
+# torrent-broadcast table that every Python worker must hold.
+_BROADCAST_MAX_ROWS = 5_000_000
 
 
 def _asof_broadcast(
@@ -255,10 +304,14 @@ def _asof_broadcast(
 ) -> DataFrame:
     """Broadcast as-of: when the feature side fits in executor memory
     (the common feature-store shape — features per entity are small even
-    when the probe table is 10^12 rows), ship {entity -> sorted feature
-    history} to every task and match with vectorized ``searchsorted``
-    per Arrow batch.  ZERO shuffle of the (wide) probe side — the same
-    reasoning as broadcasting the small side of an equi-join.
+    when the probe table is 10^12 rows), ship flat (entity-code, ts,
+    values) arrays sorted by (code, ts) to every task and match fully
+    vectorized per Arrow batch: entity -> code via one C-level hash-map
+    lookup, block bounds via two ``searchsorted`` calls over the sorted
+    code array, then one ``searchsorted`` per distinct code in the batch
+    (numpy slices only — no pandas groupby, no per-row Python).  ZERO
+    shuffle of the (wide) probe side — the same reasoning as
+    broadcasting the small side of an equi-join.
     """
     import numpy as np
 
@@ -276,14 +329,19 @@ def _asof_broadcast(
         )
         .toPandas()
         .sort_values(["__e", "__t"], kind="stable")
+        .reset_index(drop=True)
     )
-    feats = {}
-    for e, g in pdf.groupby("__e", sort=False):
-        feats[e] = (
-            g["__t"].to_numpy(np.int64),
-            {c: g[c].to_numpy() for c in value_cols},
-        )
-    bc = spark.sparkContext.broadcast(feats)
+    # dense entity codes in sorted order -> the code column is itself
+    # sorted, so each entity's history is one contiguous block
+    codes_sorted, uniq = pd.factorize(pdf["__e"], sort=False)
+    ent_index = pd.Series(np.arange(len(uniq), dtype=np.int64), index=uniq)
+    table = {
+        "codes": codes_sorted.astype(np.int64),
+        "t": pdf["__t"].to_numpy(np.int64),
+        "vals": {c: pdf[c].to_numpy() for c in value_cols},
+        "index": ent_index,
+    }
+    bc = spark.sparkContext.broadcast(table)
     tol_us = None if tolerance_sec is None else int(tolerance_sec * 1_000_000)
 
     fields = ", ".join(
@@ -295,25 +353,43 @@ def _asof_broadcast(
     def _match(entity: pd.Series, ts_us: pd.Series) -> pd.DataFrame:
         import numpy as np
 
-        table = bc.value
+        tb = bc.value
+        b_codes, b_t, b_vals = tb["codes"], tb["t"], tb["vals"]
         n_rows = len(entity)
-        out_ts = np.full(n_rows, -1, dtype=np.int64)
-        out_vals = {c: np.empty(n_rows, dtype=object) for c in value_cols}
-        frame = pd.DataFrame({"e": entity.to_numpy(), "t": ts_us.to_numpy(np.int64)})
-        for e, g in frame.groupby("e", sort=False):
-            hist = table.get(e)
-            if hist is None:
-                continue
-            t_arr, v_arrs = hist
-            idx = np.searchsorted(t_arr, g["t"].to_numpy(), side="right") - 1
-            ok = idx >= 0
+        out_idx = np.full(n_rows, -1, dtype=np.int64)  # row in broadcast arrays
+        # entity -> code: one vectorized hash-map lookup (C-level)
+        codes = tb["index"].reindex(entity.to_numpy()).to_numpy(np.float64)
+        known = ~np.isnan(codes)
+        if known.any():
+            kc = codes[known].astype(np.int64)
+            kt = ts_us.to_numpy(np.int64)[known]
+            lo = np.searchsorted(b_codes, kc, side="left")
+            hi = np.searchsorted(b_codes, kc, side="right")
+            pos = np.full(len(kc), -1, dtype=np.int64)
+            # one vectorized searchsorted per DISTINCT code in the batch
+            order = np.argsort(kc, kind="stable")
+            kc_s = kc[order]
+            starts = np.flatnonzero(np.r_[True, kc_s[1:] != kc_s[:-1]])
+            bounds = np.r_[starts, len(kc_s)]
+            for si, ei in zip(bounds[:-1], bounds[1:]):
+                rows = order[si:ei]
+                blo, bhi = lo[rows[0]], hi[rows[0]]
+                p = blo + np.searchsorted(b_t[blo:bhi], kt[rows], side="right") - 1
+                pos[rows] = np.where(p >= blo, p, -1)
             if tol_us is not None:
-                ok &= np.where(idx >= 0, g["t"].to_numpy() - t_arr[np.maximum(idx, 0)] <= tol_us, False)
-            rows = g.index.to_numpy()
-            out_ts[rows[ok]] = t_arr[idx[ok]]
-            for c in value_cols:
-                out_vals[c][rows[ok]] = v_arrs[c][idx[ok]]
-        data = {c: pd.Series(out_vals[c]) for c in value_cols}
+                ok = pos >= 0
+                ok &= np.where(ok, kt - b_t[np.maximum(pos, 0)] <= tol_us, False)
+                pos = np.where(ok, pos, -1)
+            out_idx[np.flatnonzero(known)] = pos
+        hit = out_idx >= 0
+        out_ts = np.where(hit, b_t[np.maximum(out_idx, 0)], -1)
+        data = {}
+        for c in value_cols:
+            # object dtype so unmatched rows (and NaN feature values)
+            # cross Arrow as SQL NULL, not float NaN
+            col = pd.Series(b_vals[c][np.maximum(out_idx, 0)].astype(object))
+            col[~hit] = None
+            data[c] = col
         data["__matched_us"] = pd.Series(out_ts)
         return pd.DataFrame(data)
 

@@ -36,6 +36,9 @@ class NanToNum(Transform):
     DataFrames) is treated like NaN and replaced with ``nan``.
     """
 
+    input_kinds = ("numeric", "boolean")
+    output_kind = "numeric"
+
     _F64_MAX = 1.7976931348623157e308
 
     def __init__(
@@ -60,6 +63,9 @@ class NanToNum(Transform):
 class Clamp(Transform):
     """Clip to [min, max] — reference _wrappers.py:64-81."""
 
+    input_kinds = ("numeric", "boolean")
+    output_kind = "numeric"
+
     def __init__(self, min: float, max: float):  # noqa: A002 - match reference API
         self.min = min
         self.max = max
@@ -72,6 +78,8 @@ class Unsqueeze(Transform):
     """Add an axis — reference _wrappers.py:84-99.  In columnar land the
     closest analog is wrapping the scalar into a 1-element array (mostly
     a no-op: multi-feature 'axes' are just multiple columns here)."""
+
+    output_kind = "array"
 
     def expr(self, col: Column) -> Column:
         return F.array(col)
@@ -87,6 +95,9 @@ class ToStr(Transform):
     mismatch.
     """
 
+    input_kinds = ("numeric", "boolean", "string")
+    output_kind = "string"
+
     def expr(self, col: Column) -> Column:
         return col.cast("string")
 
@@ -94,6 +105,9 @@ class ToStr(Transform):
 class ToDouble(Transform):
     """Cast to f64 — the reference keeps all statistics in float64
     (/root/reference/src/torchestra/_normalization.py:20-21)."""
+
+    input_kinds = ("numeric", "boolean", "string")
+    output_kind = "numeric"
 
     def expr(self, col: Column) -> Column:
         return col.cast("double")

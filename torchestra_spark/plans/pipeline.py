@@ -48,7 +48,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from torchestra_spark.core import FitKind, FittedTransform, Transform
+from torchestra_spark.core import FitKind, FittedTransform, Transform, type_kind
 from torchestra_spark.operators.lookups import Eliminator
 from torchestra_spark.state import StateArtifact
 
@@ -63,6 +63,26 @@ class Feature:
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"Feature({self.input_ref!r}, {self.ops!r})"
+
+
+def combine_features(*feature_sets: Dict[str, Feature]) -> Dict[str, Feature]:
+    """Merge feature sets into one Pipeline spec, raising on output-name
+    collisions — the reference's CombineDicts (merging parallel branch
+    outputs with a duplicate-key assertion, _debugging.py:26-42).  Use
+    it to assemble a Pipeline from independently-authored feature
+    groups::
+
+        Pipeline(combine_features(price_features, category_features))
+    """
+    out: Dict[str, Feature] = {}
+    for fs in feature_sets:
+        for name, feat in fs.items():
+            if name in out:
+                raise ValueError(
+                    f"duplicate feature name {name!r} when combining feature sets"
+                )
+            out[name] = feat
+    return out
 
 
 class Pipeline:
@@ -150,8 +170,41 @@ class Pipeline:
         """Fully-composed expression for a feature (requires fit)."""
         return self._compose(name)
 
+    # ------------------------------------------------------------ bind check
+    def validate_schema(self, schema) -> None:
+        """Bind-time composition check (the reference asserts adjacent
+        modules' input/output type annotations at composition,
+        _pipes.py:143-146): every feature's source column must exist,
+        and each op's declared ``input_kinds`` must accept the kind
+        flowing into it.  Raises before any Spark job runs."""
+        field_names = set(schema.fieldNames())
+        kinds: Dict[str, str] = {}
+        for name in self._feature_order():
+            feat = self.features[name]
+            ref = feat.input_ref
+            if ref in self.features:
+                kind = kinds[ref]
+            elif ref in field_names:
+                kind = type_kind(schema[ref].dataType)
+            else:
+                raise ValueError(
+                    f"feature {name!r}: input {ref!r} is neither a feature nor a "
+                    f"column of the input schema {sorted(field_names)}"
+                )
+            for i, op in enumerate(feat.ops):
+                accepted = getattr(op, "input_kinds", None)
+                if accepted and kind != "unknown" and kind not in accepted:
+                    raise TypeError(
+                        f"feature {name!r} op {i} ({type(op).__name__}) accepts "
+                        f"{accepted} but receives {kind!r} "
+                        f"(from {ref!r})"
+                    )
+                kind = getattr(op, "output_kind", None) or kind
+            kinds[name] = kind
+
     # ----------------------------------------------------------------- fit
     def fit(self, df: DataFrame) -> "Pipeline":
+        self.validate_schema(df.schema)
         for wave in self.waves:
             self._fit_wave(df, wave)
         return self
@@ -305,6 +358,7 @@ class Pipeline:
 
     # ------------------------------------------------------------ transform
     def transform(self, df: DataFrame, keep_input: bool = True) -> DataFrame:
+        self.validate_schema(df.schema)
         order = self._feature_order()
         # dependency-ordered withColumns; Catalyst collapses the
         # projections into one select

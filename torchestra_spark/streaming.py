@@ -69,6 +69,73 @@ def stream_sessionize(
     )
 
 
+def stream_sessionize_ids(
+    stream_df: DataFrame,
+    entity: str,
+    ts: str,
+    gap_sec: float,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-EVENT session ids on a stream — the streaming form of the
+    batch ``sessionize`` contract (operators/temporal.py), not just
+    per-session aggregates.
+
+    Custom stateful operator via ``applyInPandasWithState``: state per
+    entity is (last event time, current session id); each micro-batch
+    sorts its rows by time, opens a new session wherever the gap from
+    the previous event (including the carried state) exceeds
+    ``gap_sec``, and emits (id, entity, ts, session_id) rows.  Session
+    ids are 0-based per entity, matching batch ``sessionize`` exactly
+    for an in-order source (out-of-order late data shifts ids — use the
+    aggregate ``stream_sessionize`` + watermark when late data matters).
+
+    Scale: state is two scalars per entity; the only shuffle is the
+    groupBy(entity) exchange — the same partitioning as the batch
+    window plan.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    id_type = stream_df.schema[id_col].dataType.simpleString()
+    ent_type = stream_df.schema[entity].dataType.simpleString()
+    out_schema = f"`{id_col}` {id_type}, `{entity}` {ent_type}, `{ts}` timestamp, session_id bigint"
+    state_schema = "last_sec double, sid long"
+
+    sel = stream_df.select(
+        F.col(id_col), F.col(entity), F.col(ts).cast("timestamp").alias(ts)
+    )
+
+    def assign(key, pdfs, state: GroupState):
+        if state.exists:
+            last_sec, sid = state.get
+        else:
+            last_sec, sid = None, -1
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values([ts, id_col], kind="stable", ignore_index=True)
+            sec = pdf[ts].astype("int64").to_numpy() / 1e9
+            prev = np.r_[np.nan if last_sec is None else last_sec, sec[:-1]]
+            boundary = np.isnan(prev) | (sec - prev > gap_sec)
+            sids = sid + np.cumsum(boundary.astype(np.int64))
+            sid = int(sids[-1])
+            last_sec = float(sec[-1])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    entity: pdf[entity],
+                    ts: pdf[ts],
+                    "session_id": sids,
+                }
+            )
+        state.update((last_sec, sid))
+
+    return sel.groupBy(entity).applyInPandasWithState(
+        assign, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_windowed_stats(
     stream_df: DataFrame,
     entity: str,

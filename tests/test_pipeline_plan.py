@@ -198,3 +198,28 @@ def test_combine_features_collision():
 
     with pytest.raises(ValueError, match="duplicate feature name 'x'"):
         combine_features(a, {"x": Feature("c3")})
+
+
+def test_pipeline_transform_fuses_lookups(spark):
+    """Pipeline.transform fuses all single-op source-rooted lookups into
+    ONE Arrow crossing (plan shows exactly one ArrowEvalPython)."""
+    from torchestra_spark.operators.lookups import CountLookup, IndexLookup, RatioLookup
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": ["x", "y", "x"], "b": ["p", "p", "q"], "v": [1.0, 2.0, 3.0]})
+    )
+    pipe = Pipeline(
+        {
+            "a_cnt": Feature("a", [CountLookup()]),
+            "b_ratio": Feature("b", [RatioLookup()]),
+            "a_idx": Feature("a", [IndexLookup()]),
+            "v_z": Feature("v", [StandardScore()]),
+        }
+    )
+    out = pipe.fit_transform(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    got = out.orderBy("v").collect()
+    assert [r["a_cnt"] for r in got] == [2, 1, 2]
+    assert [r["a_idx"] for r in got] == [2, 3, 2]
+    assert abs(got[0]["b_ratio"] - 2 / 3) < 1e-12

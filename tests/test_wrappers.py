@@ -34,3 +34,19 @@ def test_tostr_int_exact(spark):
     out = Pipeline({"s": Feature("x", [ToStr()])}).fit_transform(df)
     got = [r["s"] for r in out.orderBy("x").collect()]
     assert got == [str(v) for v in sorted([-3, 0, 42, 10**12])]
+
+
+def test_tostr_python_float_parity(spark):
+    """python_floats=True matches python str(float) exactly, including
+    exponent forms where the JVM cast differs (1e+16 vs 1.0E16)."""
+    from torchestra_spark.operators.wrappers import ToStr
+
+    vals = [1.0, 0.1, 1e16, 1.5e-07, -3.14, 123456789.123, 2e-308]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r["s"] for r in df.select(ToStr(python_floats=True).expr(F.col("x")).alias("s"))
+           .collect()]
+    assert got == [str(float(v)) for v in vals]
+    # default int path unchanged
+    di = spark.createDataFrame([(7,), (-12,)], "x int")
+    got_i = [r["s"] for r in di.select(ToStr().expr(F.col("x")).alias("s")).collect()]
+    assert got_i == ["7", "-12"]

@@ -96,16 +96,20 @@ def asof_join(
 DEFAULT_SALT_THRESHOLD = 1_000_000
 
 
-def _hot_keys(left: DataFrame, on: str, threshold: int) -> DataFrame:
-    """Entities with >= threshold probe rows.  One map-side-combined
-    count per key; the result is <= total_rows/threshold keys — small
-    by construction, so broadcasting it is always safe."""
-    return (
+def _hot_keys(left: DataFrame, on: str, threshold: int) -> list:
+    """Entities with >= threshold probe rows, collected to the driver.
+    One map-side-combined count per key; the result is <=
+    total_rows/threshold keys — small by construction, so collecting
+    (and later broadcasting) it is always safe.  Collecting lets the
+    planner skip the whole salting machinery when nothing is hot."""
+    rows = (
         left.groupBy(on)
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") >= threshold)
-        .select(F.col(on).alias("__hot_key"))
+        .select(F.col(on))
+        .collect()
     )
+    return [r[0] for r in rows]
 
 
 def _asof_union(
@@ -166,32 +170,55 @@ def _asof_union(
             *[F.col(c).alias(f"__v_{c}") for c in value_cols],
         ).alias("__fv"),
     )
-    if salted:
+    hot_keys = (
+        _hot_keys(left, on, salt_threshold or DEFAULT_SALT_THRESHOLD) if salted else []
+    )
+    if salted and hot_keys:
         # Skew-aware salting: ONLY hot entities (probe rows >=
         # salt_threshold) are split — their probe rows route to
         # hash(ts) % N buckets and their feature rows replicate into all
         # N buckets (each bucket sees the full feature history, so
         # point-in-time order is preserved).  Cold entities stay in
         # bucket 0 unreplicated — at a zipf distribution this keeps
-        # feature shuffle volume ~1x instead of xN.
-        hot = F.broadcast(_hot_keys(left, on, salt_threshold or DEFAULT_SALT_THRESHOLD))
+        # feature shuffle volume ~1x instead of xN.  When NO entity is
+        # hot (hot_keys empty), the plain single-bucket plan runs —
+        # salting costs nothing on unskewed data beyond the count pass.
         zero = F.lit(0).cast("bigint")
-        lhs = lhs.join(hot, lhs[on] == hot["__hot_key"], "left").withColumn(
+        if len(hot_keys) <= 10_000:
+            # literal IN-set: stays inside whole-stage codegen
+            def tag(df: DataFrame) -> DataFrame:
+                return df.withColumn("__hot", F.col(on).isin(hot_keys))
+
+        else:
+            # very wide hot sets ride a broadcast-join marker instead of
+            # a mile-long literal expression
+            spark = left.sparkSession
+            hot_df = F.broadcast(
+                spark.createDataFrame([(k,) for k in hot_keys], [on]).withColumn(
+                    "__hot_m", F.lit(True)
+                )
+            )
+
+            def tag(df: DataFrame) -> DataFrame:
+                return (
+                    df.join(hot_df.withColumnRenamed(on, "__hk"), df[on] == F.col("__hk"), "left")
+                    .withColumn("__hot", F.col("__hot_m").isNotNull())
+                    .drop("__hk", "__hot_m")
+                )
+
+        lhs = tag(lhs).withColumn(
             bucket,
-            F.when(
-                F.col("__hot_key").isNotNull(),
-                F.pmod(F.xxhash64(F.col(ts)), F.lit(salt_buckets)),
-            ).otherwise(zero),
-        ).drop("__hot_key")
-        rhs = rhs.join(hot, rhs[on] == hot["__hot_key"], "left").withColumn(
+            F.when(F.col("__hot"), F.pmod(F.xxhash64(F.col(ts)), F.lit(salt_buckets))).otherwise(zero),
+        ).drop("__hot")
+        rhs = tag(rhs).withColumn(
             bucket,
             F.explode(
                 F.when(
-                    F.col("__hot_key").isNotNull(),
+                    F.col("__hot"),
                     F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<bigint>"),
                 ).otherwise(F.array(zero))
             ),
-        ).drop("__hot_key")
+        ).drop("__hot")
         part = [on, bucket]
     else:
         part = [on]

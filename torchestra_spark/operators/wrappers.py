@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -89,17 +90,29 @@ class ToStr(Transform):
     """Numeric -> string — reference _wrappers.py:102-108.
 
     For integer inputs ``CAST AS STRING`` matches python ``str(int)``
-    exactly.  Float formatting differs between JVM and python (the
-    reference uses ``str(x.item())``); integer keys are the only ToStr
-    use-case in the reference tests, so floats raise to avoid silent
-    mismatch.
+    exactly, JVM-side.  Float formatting differs between the JVM cast
+    ("1.0E16") and python ``str`` ("1e+16", the reference's
+    ``str(x.item())``), so ``python_floats=True`` routes through an
+    Arrow-batched UDF that applies python float repr (shortest
+    round-trip) for exact reference parity — the slow path, only for
+    float keys that must match reference vocabularies byte-for-byte.
     """
 
     input_kinds = ("numeric", "boolean", "string")
     output_kind = "string"
 
+    def __init__(self, python_floats: bool = False):
+        self.python_floats = bool(python_floats)
+
     def expr(self, col: Column) -> Column:
-        return col.cast("string")
+        if not self.python_floats:
+            return col.cast("string")
+
+        @F.pandas_udf("string")
+        def _pystr(s: pd.Series) -> pd.Series:
+            return s.map(lambda v: None if pd.isna(v) else str(float(v)))
+
+        return _pystr(col.cast("double"))
 
 
 class ToDouble(Transform):

@@ -1155,6 +1155,19 @@ def oracle_sql() -> dict[str, str]:
                          / 4.0, 6) AS quality
             FROM c
         """,
+        # fake-decoder closed form: feature i = f32(byte_i/255) * f64(1 +
+        # (i%7)*0.01), stored as f32, summed as f64 — reproduced with
+        # explicit REAL casts (texts are ASCII and len >= 16, so byte_i =
+        # ascii(char_i) and idx%len = idx)
+        "multimodal_decode": """
+            SELECT doc_id,
+                   ROUND(list_sum(list_transform(range(0, 16),
+                       i -> CAST(CAST(CAST(CAST(ascii(substring(text, CAST(i AS INT) + 1, 1))
+                                             AS REAL) / CAST(255.0 AS REAL) AS DOUBLE)
+                                      * (1.0 + (i % 7) * 0.01) AS REAL) AS DOUBLE))), 4)
+                     AS feat_sum
+            FROM documents
+        """,
         # the real WAV codec path: decoded constant-amplitude PCM has the
         # closed form floor(amp*32767)/32768
         "multimodal_decode_real": """

@@ -627,6 +627,17 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias("feat_sum"))
 
 
+def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact all-pairs verification baseline (oracle-checkable); the
+    # scale path is method="lsh" (multi-table hyperplane blocking),
+    # pytest-covered subset-of-exact + planted-pair recall
+    from torchestra_spark.functions.similarity import embedding_near_dups
+
+    em = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_dups(em, "embedding", "vec_id", threshold=0.5, method="exact")
+    return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
 def _q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     # REAL codec end-to-end with a closed-form SQL oracle: synthesize a
     # constant-amplitude 16-bit PCM WAV per doc (amp = n_chars%100/100),
@@ -707,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
+        "embedding_near_dups": _q_embedding_near_dups,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_decode_real": _q_multimodal_decode_real,
     }
@@ -1154,6 +1166,14 @@ def oracle_sql() -> dict[str, str]:
                           + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END))
                          / 4.0, 6) AS quality
             FROM c
+        """,
+        "embedding_near_dups": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.5
         """,
         # fake-decoder closed form: feature i = f32(byte_i/255) * f64(1 +
         # (i%7)*0.01), stored as f32, summed as f64 — reproduced with

@@ -1,0 +1,92 @@
+"""Physical-plan quality gates: the optimizations the engine depends on
+at 100 TB must be visible in .explain() — pushdown reaching the scan,
+top-k compiling to TakeOrdered (not a global sort), small dimensions
+broadcast, column pruning, and lookup-fusion producing a single Arrow
+stage.  A refactor that silently loses one of these fails here, not in
+a 100x-slower production run."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet")
+
+
+def test_filter_and_projection_reach_the_scan(events):
+    q = events.filter(F.col("event_type") == "purchase").select("event_id", "value")
+    plan = _plan(q)
+    scan = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "EqualTo(event_type,purchase)" in scan
+    # column pruning: the scan reads only the 3 needed columns
+    assert "ReadSchema: struct<event_id:bigint,event_type:string,value:double>" in scan
+
+
+def test_topk_compiles_to_take_ordered(spark):
+    from torchestra_spark.functions.similarity import brute_force_topk
+
+    em = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = em.first()["embedding"]
+    plan = _plan(brute_force_topk(em, "embedding", q, 5))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no global sort stage
+
+
+def test_interval_join_broadcasts_small_dims(spark, events):
+    from torchestra_spark.operators.temporal import interval_join
+
+    dims = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [1],
+                "valid_from": pd.to_datetime(["2026-01-01"]),
+                "valid_to": pd.to_datetime(["2026-02-01"]),
+                "plan": ["x"],
+            }
+        )
+    )
+    plan = _plan(
+        interval_join(
+            events, dims, on="user_id", left_ts="ts",
+            valid_from="valid_from", valid_to="valid_to",
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_asof_union_single_exchange(spark, events):
+    """The union as-of strategy is ONE hash exchange on the entity key —
+    no UDF stage, no extra shuffles."""
+    from torchestra_spark.io.sources import feature_events
+    from torchestra_spark.operators.temporal import asof_join
+
+    feats = feature_events(spark, n_entities=50, partitions=2)
+    plan = _plan(
+        asof_join(events, feats, on="user_id", left_ts="ts", right_ts="feature_ts",
+                  value_cols=["fval"])
+    )
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2  # one per side of the union
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_scaler_transform_stays_in_codegen(spark, events):
+    """Fitted scaler transforms are literal Column exprs — the hot path
+    has zero Python stages and one WholeStageCodegen projection."""
+    from torchestra_spark import Feature, Pipeline, StandardScore
+
+    pipe = Pipeline({"value_z": Feature("value", [StandardScore()])})
+    out = pipe.fit_transform(events)
+    plan = _plan(out)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # '*(n)' marks whole-stage-codegen'd operators; the projection with
+    # the fitted literals must carry it
+    assert "*(1) Project" in plan

@@ -358,3 +358,35 @@ def test_probe_masks_ordering():
     assert masks[2] == 4  # next (plane 2, margin .2)
     assert masks[3] == 5  # cheapest 2-bit combo (.1+.2) before plane 1 (5.0)
     assert len(masks) == 8 and len(set(masks)) == 8
+
+
+def test_embedding_near_dups_exact_and_lsh(spark):
+    """Planted near-identical vectors: exact finds exactly the planted
+    pairs; LSH candidates (multi-table) find the near-identical pair and
+    are a subset of exact."""
+    rng = np.random.RandomState(5)
+    X = rng.randn(40, 16)
+    X[7] = X[3] + rng.randn(16) * 0.01      # near-identical pair (3, 7)
+    X[25] = -X[12]                           # anti-parallel: NOT a near-dup
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(40), "embedding": [row.tolist() for row in X]})
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_near_dups(df, "embedding", "vec_id", 0.95, method="exact").collect()
+    }
+    # numpy oracle
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = Xn @ Xn.T
+    exp = {
+        (i, j) for i in range(40) for j in range(i + 1, 40) if sims[i, j] >= 0.95
+    }
+    assert exact == exp and (3, 7) in exact
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_near_dups(
+            df, "embedding", "vec_id", 0.95, method="lsh", n_planes=6, tables=8
+        ).collect()
+    }
+    assert lsh <= exact
+    assert (3, 7) in lsh  # ~identical vectors land together in >=1 of 8 tables

@@ -208,6 +208,63 @@ def ivf_topk(
     return brute_force_topk(cand, vec_col, list(q), k=k, id_col=id_col)
 
 
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    method: str = "lsh",
+    n_planes: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
+    threshold) — the vector-space analog of MinHash text dedup.
+
+    * ``method='lsh'`` — the scale path: ``tables`` independent
+      hyperplane hash tables (different seeds); a pair is a candidate if
+      it shares a bucket in ANY table (recall grows as 1-(1-p^planes)^
+      tables where p = 1 - angle/pi), then exact cosine verification.
+      Shuffle cost is O(rows x tables), never all-pairs.
+    * ``method='exact'`` — all-pairs self-join baseline for verification
+      and small tables; quadratic, use only as the correctness oracle.
+    """
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    if method == "exact":
+        l, r = base.alias("l"), base.alias("r")
+        pairs = l.join(r, F.col("l.__id") < F.col("r.__id")).select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            cosine(F.col("l.__v"), F.col("r.__v")).alias("cos_sim"),
+        )
+        return pairs.filter(F.col("cos_sim") >= threshold)
+    if method != "lsh":
+        raise ValueError(method)
+    dim = _infer_dim(df, vec_col)
+    banded = None
+    for t in range(tables):
+        b = lsh_buckets(base, "__v", dim, n_planes, seed + 1000 * t).select(
+            "__id", "__v", F.lit(t).alias("__tbl"), F.col("bucket")
+        )
+        banded = b if banded is None else banded.unionByName(b)
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.__tbl") == F.col("r.__tbl"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            cosine(F.col("l.__v"), F.col("r.__v")).alias("cos_sim"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.filter(F.col("cos_sim") >= threshold)
+
+
 def pairwise_topk_per_row(
     df: DataFrame,
     vec_col: str,

@@ -90,3 +90,28 @@ def test_scaler_transform_stays_in_codegen(spark, events):
     # '*(n)' marks whole-stage-codegen'd operators; the projection with
     # the fitted literals must carry it
     assert "*(1) Project" in plan
+
+
+def test_ivf_partitioned_layout_prunes_scan(spark, tmp_path):
+    """IVF cells written as hive partitions: probing k cells prunes the
+    scan at planning time (PartitionFilters), so ANN cost scales with
+    probed cells, not table size."""
+    import numpy as np
+
+    from torchestra_spark.functions.similarity import (
+        ivf_assign,
+        train_ivf_centroids,
+    )
+    from torchestra_spark.io.sources import read_partitioned, write_partitioned
+
+    em = spark.read.parquet(f"{SF}/embeddings.parquet")
+    C = train_ivf_centroids(em, "embedding", n_centroids=4, sample=500, seed=1)
+    path = str(tmp_path / "ivf")
+    write_partitioned(ivf_assign(em, "embedding", C), path, ["ivf_cell"])
+
+    probed = read_partitioned(spark, path).filter(F.col("ivf_cell").isin([0, 1]))
+    plan = _plan(probed)
+    scan = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "ivf_cell" in scan.split("PartitionFilters:")[1].split("PushedFilters")[0]
+    # and the probe actually reads fewer rows than the table
+    assert probed.count() < em.count()

@@ -163,3 +163,22 @@ def test_empty_fit_degrades_to_nan(spark):
         pipe.fit(df)
         assert op.is_fitted
     assert math.isnan(StandardScore().mean) is False  # ctor default untouched
+
+
+def test_sketch_tree_merge_many_partitions(spark):
+    """>64 input partitions triggers the executor-side tree merge of
+    t-digest partials; quantiles still match numpy within the sketch
+    tolerance, and driver collect volume is bounded by the fan-in."""
+    import numpy as np
+
+    from torchestra_spark.plans.pipeline import Feature, Pipeline
+
+    rng = np.random.RandomState(0)
+    vals = rng.lognormal(0, 1, 20000)
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double").repartition(200)
+    op = RobustScale()
+    Pipeline({"r": Feature("x", [op])}).fit(df)
+    exp_med = np.quantile(vals, 0.5)
+    exp_iqr = np.quantile(vals, 0.75) - np.quantile(vals, 0.25)
+    assert abs(op.median - exp_med) < 0.05 * max(1.0, abs(exp_med))
+    assert abs(op.iqr - exp_iqr) < 0.05 * max(1.0, exp_iqr)

@@ -294,10 +294,19 @@ class Pipeline:
         for j, (_path, op, _col) in enumerate(ops):
             op.fit_finalize(by_op[j])
 
+    # above this many input partitions, per-partition sketch partials are
+    # tree-merged executor-side into <= this many runs before the driver
+    # collect — the collect stays O(FANIN * 2*compression) rows no matter
+    # how many partitions the 100 TB scan has
+    _SKETCH_FANIN = 64
+
     @staticmethod
     def _fit_sketch(df: DataFrame, ops: List[Tuple[str, FittedTransform, Column]]) -> None:
         """One mapInPandas pass -> per-partition t-digest centroids for
-        every sketch op in the wave; driver merge in partition order."""
+        every sketch op in the wave; contiguous partition runs are merged
+        executor-side when the partition count is large (deterministic:
+        runs merge in partition order, like the reference's sequential
+        shard merge); driver merge in run order."""
         from pyspark import TaskContext
 
         sketchers = [op for (_p, op, _c) in ops]
@@ -331,7 +340,53 @@ class Pipeline:
                 {"op": [], "pid": [], "mean": [], "weight": []}
             )
 
-        rows = sel.mapInPandas(build, "op int, pid int, mean double, weight double").collect()
+        centroid_schema = "op int, pid int, mean double, weight double"
+        rows_df = sel.mapInPandas(build, centroid_schema)
+
+        n_parts = sel.rdd.getNumPartitions()
+        if n_parts > Pipeline._SKETCH_FANIN:
+            import math as _math
+
+            group_size = _math.ceil(n_parts / Pipeline._SKETCH_FANIN)
+
+            def merge_run(pdf: pd.DataFrame) -> pd.DataFrame:
+                # one (op, gid) group = a contiguous pid run; merge its
+                # digests in pid order, emit one digest's centroids
+                j = int(pdf["op"].iloc[0])
+                gid = int(pdf["pid"].iloc[0]) // group_size
+                td = sketchers[j]._td
+                t = td.new_digest()
+                for pid in sorted(pdf["pid"].unique()):
+                    # processed centroids are mean-ascending; restore order
+                    sub = pdf[pdf["pid"] == pid].sort_values("mean", kind="stable")
+                    d = td.new_digest()
+                    k = len(sub)
+                    d.processed_means[:k] = sub["mean"].to_numpy()
+                    d.processed_weights[:k] = sub["weight"].to_numpy()
+                    d.n_processed = k
+                    d.processed_weight = float(sub["weight"].sum())
+                    if k:
+                        d.mean_min = float(sub["mean"].iloc[0])
+                        d.mean_max = float(sub["mean"].iloc[-1])
+                    td.merge_digests(t, d)
+                td._process(t)
+                k = t.n_processed
+                return pd.DataFrame(
+                    {
+                        "op": np.full(k, j, dtype=np.int32),
+                        "pid": np.full(k, gid, dtype=np.int32),
+                        "mean": t.processed_means[:k],
+                        "weight": t.processed_weights[:k],
+                    }
+                )
+
+            rows_df = rows_df.withColumn(
+                "gid", (F.col("pid") / group_size).cast("int")
+            ).groupBy("op", "gid").applyInPandas(
+                lambda pdf: merge_run(pdf.drop(columns=["gid"])), centroid_schema
+            )
+
+        rows = rows_df.collect()
         # group centroids per (op, pid), preserving partition order
         per_op: Dict[int, Dict[int, Tuple[List[float], List[float]]]] = {
             j: {} for j in range(n_ops)

@@ -182,3 +182,27 @@ def test_sketch_tree_merge_many_partitions(spark):
     exp_iqr = np.quantile(vals, 0.75) - np.quantile(vals, 0.25)
     assert abs(op.median - exp_med) < 0.05 * max(1.0, abs(exp_med))
     assert abs(op.iqr - exp_iqr) < 0.05 * max(1.0, exp_iqr)
+
+
+def test_robust_scale_exact_state_roundtrip(spark, tmp_path):
+    """exact-mode RobustScale round-trips its state (incl. the exact
+    flag, which restores the SCALAR_AGG fit kind on load)."""
+    from torchestra_spark.core import FitKind
+    from torchestra_spark.plans.pipeline import Feature, Pipeline
+
+    df = spark.createDataFrame([(float(i),) for i in range(101)], "x double")
+    op = RobustScale(exact=True)
+    pipe = Pipeline({"r": Feature("x", [op])})
+    pipe.fit(df)
+    assert op.median == 50.0 and op.iqr == 50.0  # exact quantiles of 0..100
+    path = str(tmp_path / "state.json")
+    pipe.save_state(path)
+
+    op2 = RobustScale()  # defaults; state restores exact mode
+    pipe2 = Pipeline({"r": Feature("x", [op2])})
+    pipe2.load_state(path)
+    assert op2.exact is True and op2.fit_kind is FitKind.SCALAR_AGG
+    assert op2.median == 50.0 and op2.iqr == 50.0
+    a = pipe.transform(df).select("r").toPandas()
+    b = pipe2.transform(df).select("r").toPandas()
+    assert (a["r"] == b["r"]).all()

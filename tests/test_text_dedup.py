@@ -390,3 +390,27 @@ def test_embedding_near_dups_exact_and_lsh(spark):
     }
     assert lsh <= exact
     assert (3, 7) in lsh  # ~identical vectors land together in >=1 of 8 tables
+
+
+def test_minhash_simhash_empty_doc_segments(spark):
+    """Batch-vectorized sketches handle empty docs anywhere in the batch
+    (leading / interior / trailing reduceat segments)."""
+    texts = ["", "alpha beta gamma delta", "", "one two three four", ""]
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(5), "text": texts}))
+    sigs = {
+        r["doc_id"]: list(r["signature"])
+        for r in D.minhash_signatures(df, "text", "doc_id", k=8, shingle_n=2).collect()
+    }
+    assert sigs[0] == sigs[2] == sigs[4] == [D._MERSENNE] * 8
+    assert sigs[1] != sigs[3] and max(sigs[1]) < D._MERSENNE
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash64(df, "text", "doc_id").collect()}
+    assert sh[0] == sh[2] == sh[4] == 0
+    assert sh[1] != 0 and sh[3] != 0
+    # partitioning invariance: same results in a single partition
+    sigs1 = {
+        r["doc_id"]: list(r["signature"])
+        for r in D.minhash_signatures(
+            df.coalesce(1), "text", "doc_id", k=8, shingle_n=2
+        ).collect()
+    }
+    assert sigs1 == sigs

@@ -111,15 +111,29 @@ def minhash_signatures(
     def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["__id"]
-            sigs = []
-            for hs in pdf["__h"]:
-                if hs is None or len(hs) == 0:
-                    sigs.append(np.full(k, _MERSENNE, dtype=np.int64))
-                    continue
-                h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-                # (k, n) broadcast: permuted hashes, min over shingles
-                m = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)
-                sigs.append(m.min(axis=1).astype(np.int64))
+            n_docs = len(pdf)
+            lens = pdf["__h"].map(lambda hs: 0 if hs is None else len(hs)).to_numpy(np.int64)
+            if lens.sum() == 0:
+                sigs = [np.full(k, _MERSENNE, dtype=np.int64)] * n_docs
+                yield pd.DataFrame({"__id": ids, "signature": sigs})
+                continue
+            # ONE (k, total) broadcast across every shingle of the whole
+            # batch, then a segmented min per doc (reduceat) — no
+            # per-document Python loop
+            all_h = np.concatenate(
+                [np.asarray(hs, dtype=np.int64) for hs in pdf["__h"] if hs is not None and len(hs)]
+            ).astype(np.uint64)
+            m = (a[:, None] * all_h[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+            # pad one max-valued column so a trailing empty segment's
+            # start index stays in bounds and the last real segment's
+            # min is unchanged
+            m = np.concatenate([m, np.full((k, 1), _MERSENNE, dtype=np.uint64)], axis=1)
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            mins = np.minimum.reduceat(m, starts, axis=1).astype(np.int64)
+            # interior empty segments: reduceat echoes the next doc's
+            # first element there — overwrite with the empty signature
+            mins[:, lens == 0] = _MERSENNE
+            sigs = [mins[:, i] for i in range(n_docs)]
             yield pd.DataFrame({"__id": ids, "signature": sigs})
 
     out_schema = f"__id {df.schema[id_col].dataType.simpleString()}, signature array<bigint>"
@@ -266,14 +280,23 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         bit_idx = np.arange(64, dtype=np.uint64)
         for pdf in batches:
             out = np.zeros(len(pdf), dtype=np.int64)
-            for i, hs in enumerate(pdf["__h"]):
-                if hs is None or len(hs) == 0:
-                    continue
-                h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-                bits = (h[:, None] >> bit_idx[None, :]) & np.uint64(1)  # (n, 64)
-                votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-                sig = np.where(votes > 0, 1, 0).astype(np.uint64)
-                out[i] = (sig << bit_idx).sum().astype(np.int64)
+            lens = pdf["__h"].map(lambda hs: 0 if hs is None else len(hs)).to_numpy(np.int64)
+            if lens.sum() > 0:
+                # batch-wide (total, 64) bit matrix, then one segmented
+                # per-doc vote sum (reduceat) — no per-document loop
+                all_h = np.concatenate(
+                    [np.asarray(hs, dtype=np.int64) for hs in pdf["__h"] if hs is not None and len(hs)]
+                ).astype(np.uint64)
+                bits = ((all_h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+                votes_all = 2 * bits - 1  # (total, 64)
+                # zero pad row keeps a trailing empty segment in bounds
+                votes_all = np.concatenate([votes_all, np.zeros((1, 64), dtype=np.int64)])
+                starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+                votes = np.add.reduceat(votes_all, starts, axis=0)  # (n_docs, 64)
+                sig = (votes > 0).astype(np.uint64)
+                vals = (sig << bit_idx[None, :]).sum(axis=1).astype(np.int64)
+                vals[lens == 0] = 0  # reduceat echo on empty segments
+                out = vals
             yield pd.DataFrame({"__id": pdf["__id"], "simhash": out})
 
     out_schema = f"__id {df.schema[id_col].dataType.simpleString()}, simhash bigint"

@@ -267,3 +267,50 @@ def test_asof_null_feature_value_not_skipped(spark):
         row = out[0]
         assert row["fval"] is None, f"{strategy}: NULL feature value was skipped"
         assert str(row["matched_feature_ts"]).startswith("2024-01-02"), strategy
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_asof_randomized_vs_merge_asof(spark, seed):
+    """Randomized micro-corpus (duplicate timestamps, NULL values,
+    unmatched entities, empty histories) vs pandas merge_asof, across
+    all three strategies."""
+    rng = np.random.RandomState(seed)
+    n_e, n_p, n_f = 12, 300, 80
+    probe = pd.DataFrame(
+        {
+            "event_id": np.arange(n_p),
+            "user_id": rng.randint(0, n_e, n_p),
+            "ts": pd.Timestamp("2026-03-01")
+            + pd.to_timedelta(rng.randint(0, 10000, n_p) * 60, unit="s"),
+        }
+    )
+    feats = pd.DataFrame(
+        {
+            # entities 0..7 only: 8..11 have empty histories
+            "user_id": rng.randint(0, 8, n_f),
+            "feature_ts": pd.Timestamp("2026-03-01")
+            + pd.to_timedelta(rng.randint(0, 10000, n_f) * 60, unit="s"),
+            "fval": np.where(rng.rand(n_f) < 0.15, np.nan, rng.randn(n_f)),
+        }
+    )
+    # dedupe (entity, ts) on the feature side: at equal ts merge_asof
+    # picks the last physical row while the engine picks the latest
+    # matched row deterministically — dedupe makes the oracle unambiguous
+    feats = feats.drop_duplicates(["user_id", "feature_ts"], keep="last")
+    lt, rt = spark.createDataFrame(probe), spark.createDataFrame(feats)
+    exp = pd.merge_asof(
+        probe.sort_values("ts", kind="stable"),
+        feats.sort_values("feature_ts", kind="stable"),
+        left_on="ts", right_on="feature_ts", by="user_id", direction="backward",
+    ).sort_values("event_id", ignore_index=True)
+    for strategy in ("union", "merge_asof", "broadcast"):
+        got = (
+            asof_join(lt, rt, on="user_id", left_ts="ts", right_ts="feature_ts",
+                      value_cols=["fval"], strategy=strategy)
+            .toPandas().sort_values("event_id", ignore_index=True)
+        )
+        assert np.allclose(got["fval"].to_numpy(dtype=float),
+                           exp["fval"].to_numpy(dtype=float), equal_nan=True), strategy
+        gm, em = got["matched_feature_ts"], exp["feature_ts"]
+        assert gm.isna().equals(em.isna()), strategy
+        assert (gm.dropna().to_numpy() == em.dropna().to_numpy()).all(), strategy

@@ -17,8 +17,15 @@ def _plan(df) -> str:
 
 
 @pytest.fixture(scope="module")
-def events(spark):
-    return spark.read.parquet(f"{SF}/events.parquet")
+def events(spark, tmp_path_factory):
+    # private copy: other suites .cache() the canonical path, and a
+    # matching InMemoryRelation would replace the parquet scan these
+    # tests assert on (cache lookup is plan-equivalence based)
+    import shutil
+
+    d = tmp_path_factory.mktemp("plans_events")
+    shutil.copy(f"{SF}/events.parquet", d / "events.parquet")
+    return spark.read.parquet(str(d / "events.parquet"))
 
 
 def test_filter_and_projection_reach_the_scan(events):

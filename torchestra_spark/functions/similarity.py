@@ -272,14 +272,28 @@ def pairwise_topk_per_row(
     k: int = 5,
     n_planes: int = 8,
     seed: int = 42,
+    max_bucket_size: Optional[int] = 10_000,
 ) -> DataFrame:
     """All-rows ANN: bucket once, self-join within buckets, per-row
-    top-k neighbors by cosine (window over bucket-join candidates)."""
+    top-k neighbors by cosine (window over bucket-join candidates).
+
+    ``max_bucket_size`` drops degenerate mega-buckets (identical /
+    near-zero vectors collapsing into one sign pattern) before the
+    quadratic self-join — the same production guard as
+    ``lsh_candidate_pairs``; pass ``None`` to disable."""
     from pyspark.sql import Window
 
     b = lsh_buckets(df, vec_col, _infer_dim(df, vec_col), n_planes, seed).select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "bucket"
     )
+    if max_bucket_size is not None:
+        big = (
+            b.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > max_bucket_size)
+            .select("bucket")
+        )
+        b = b.join(F.broadcast(big), "bucket", "left_anti")
     l, r = b.alias("l"), b.alias("r")
     pairs = l.join(
         r,

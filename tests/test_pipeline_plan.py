@@ -117,9 +117,9 @@ def test_wave_batches_one_agg_job(sdf, monkeypatch):
     calls = []
     orig = Pipeline._fit_scalar
 
-    def spy(df, ops):
+    def spy(df, ops, update=False):
         calls.append(len(ops))
-        return orig(df, ops)
+        return orig(df, ops, update)
 
     monkeypatch.setattr(Pipeline, "_fit_scalar", staticmethod(spy))
     pipe = Pipeline(

@@ -137,6 +137,17 @@ class FittedTransform(Transform):
         """Driver-side apply_stats: freeze parameters from collected stats."""
         raise NotImplementedError
 
+    def merge_stats(self, old: Any, new: Any) -> Any:
+        """Combine two collected-stats payloads — the reference's
+        ``combine_stats`` (shard merge) applied across *fit calls*:
+        ``Pipeline.fit_update(delta_df)`` collects stats on the delta
+        and finalizes from ``merge_stats(previous, delta)``.  Ops that
+        cannot merge (e.g. exact percentiles) leave this unimplemented.
+        """
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support incremental fit_update"
+        )
+
     def _require_fitted(self) -> None:
         if not self._fitted:
             raise RuntimeError(f"{type(self).__name__} is not fitted; call Pipeline.fit first")

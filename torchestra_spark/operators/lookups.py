@@ -233,6 +233,20 @@ def _map_udf(vocab: Dict[str, Any], default: Any, out_type: str, int_keys: bool)
     return _apply
 
 
+
+def _merge_counts(old: Dict[str, int], new: Dict[str, int], eliminator: "Eliminator") -> Dict[str, int]:
+    """Counter-add two collected vocab payloads, then re-apply the
+    eliminator over the merged dict — combine_stats across fit calls.
+    Exact for NoThreshold; with pruning eliminators the per-fit Spark
+    pushdown has already dropped sub-threshold keys within each fit, so
+    an incrementally-updated vocabulary can undercount keys that only
+    cross the threshold across deltas (documented approximation)."""
+    merged = dict(old)
+    for k, v in new.items():
+        merged[k] = merged.get(k, 0) + v
+    return eliminator.prune_dict(merged)
+
+
 # ----------------------------------------------------------------- string ops
 class CountLookup(FittedTransform):
     """string -> training-set count (0 if absent) — _lookups.py:6-77."""
@@ -262,6 +276,10 @@ class CountLookup(FittedTransform):
     def mapping_spec(self) -> "MappingSpec":
         self._require_fitted()
         return MappingSpec(self.counts, 0, "bigint", self.int_keys)
+
+    def merge_stats(self, old: Dict[str, int], new: Dict[str, int]) -> Dict[str, int]:
+        return _merge_counts(old, new, self.eliminator)
+
 
     def get_state(self) -> Dict[str, Any]:
         return {"counts": self.counts, "total": self.total, "eliminator": self.eliminator.get_state()}
@@ -303,6 +321,10 @@ class RatioLookup(FittedTransform):
     def mapping_spec(self) -> "MappingSpec":
         self._require_fitted()
         return MappingSpec(self.ratios, 0.0, "double", self.int_keys)
+
+    def merge_stats(self, old: Dict[str, int], new: Dict[str, int]) -> Dict[str, int]:
+        return _merge_counts(old, new, self.eliminator)
+
 
     def get_state(self) -> Dict[str, Any]:
         return {"ratios": self.ratios, "total": self.total, "eliminator": self.eliminator.get_state()}
@@ -369,6 +391,10 @@ class IndexLookup(FittedTransform):
     def mapping_spec(self) -> "MappingSpec":
         self._require_fitted()
         return MappingSpec(self.lookup, self.unknown_idx, "bigint", self.int_keys)
+
+    def merge_stats(self, old: Dict[str, int], new: Dict[str, int]) -> Dict[str, int]:
+        return _merge_counts(old, new, self.eliminator)
+
 
     def get_state(self) -> Dict[str, Any]:
         return {

@@ -43,6 +43,45 @@ def _stat(stats: Dict[str, Any], key: str) -> float:
     return float("nan") if v is None else float(v)
 
 
+def _merge_extreme(a: Any, b: Any, pick) -> Any:
+    """Merge two min/max aggregates where either may be SQL NULL."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return pick(a, b)
+
+
+def _merge_moment_stats(
+    old: Dict[str, Any], new: Dict[str, Any], with_var: bool
+) -> Dict[str, Any]:
+    """Chan et al. parallel merge of (n, mean[, var_pop]) plus min/max —
+    the reference's combine_stats (_normalization.py:227-249) applied
+    across fit calls."""
+    n1 = int(old.get("n") or 0)
+    n2 = int(new.get("n") or 0)
+    n = n1 + n2
+    out: Dict[str, Any] = {"n": n}
+    if n == 0:
+        out["mean"] = None
+        if with_var:
+            out["var_pop"] = None
+    else:
+        m1 = float(old["mean"]) if old.get("mean") is not None else 0.0
+        m2 = float(new["mean"]) if new.get("mean") is not None else 0.0
+        mean = (n1 * m1 + n2 * m2) / n
+        out["mean"] = mean
+        if with_var:
+            v1 = float(old["var_pop"]) if old.get("var_pop") is not None else 0.0
+            v2 = float(new["var_pop"]) if new.get("var_pop") is not None else 0.0
+            d = m2 - m1
+            out["var_pop"] = (n1 * v1 + n2 * v2) / n + d * d * n1 * n2 / (n * n)
+    if "min" in old or "min" in new:
+        out["min"] = _merge_extreme(old.get("min"), new.get("min"), min)
+        out["max"] = _merge_extreme(old.get("max"), new.get("max"), max)
+    return out
+
+
 def _scale_expr(col: Column, offset: float, divisor: float) -> Column:
     """(col - offset) / divisor with torch division semantics for the
     degenerate divisor==0 case (x/0 -> ±inf, 0/0 -> nan).  Spark 4's
@@ -76,12 +115,15 @@ class MeanScale(FittedTransform):
 
     def fit_aggs(self, col: Column) -> Dict[str, Column]:
         c = col.cast("double")
-        return {"mean": F.avg(c), "min": F.min(c), "max": F.max(c)}
+        return {"n": F.count(c), "mean": F.avg(c), "min": F.min(c), "max": F.max(c)}
 
     def fit_finalize(self, stats: Dict[str, Any]) -> None:
         self.mean = _stat(stats, "mean")
         self.delta = _stat(stats, "max") - _stat(stats, "min")
         self._fitted = True
+
+    def merge_stats(self, old: Dict[str, Any], new: Dict[str, Any]) -> Dict[str, Any]:
+        return _merge_moment_stats(old, new, with_var=False)
 
     def expr(self, col: Column) -> Column:
         self._require_fitted()
@@ -116,6 +158,12 @@ class MinMaxScale(FittedTransform):
         self.vmin = _stat(stats, "min")
         self.vdelta = _stat(stats, "max") - self.vmin
         self._fitted = True
+
+    def merge_stats(self, old: Dict[str, Any], new: Dict[str, Any]) -> Dict[str, Any]:
+        return {
+            "min": _merge_extreme(old.get("min"), new.get("min"), min),
+            "max": _merge_extreme(old.get("max"), new.get("max"), max),
+        }
 
     def expr(self, col: Column) -> Column:
         self._require_fitted()
@@ -160,6 +208,9 @@ class StandardScore(FittedTransform):
         var_pop = float(stats["var_pop"]) if stats["var_pop"] is not None else 0.0
         self.std = math.sqrt(var_pop * n / (n - self.ddof)) if n > self.ddof else float("nan")
         self._fitted = True
+
+    def merge_stats(self, old: Dict[str, Any], new: Dict[str, Any]) -> Dict[str, Any]:
+        return _merge_moment_stats(old, new, with_var=True)
 
     def expr(self, col: Column) -> Column:
         self._require_fitted()
@@ -208,6 +259,12 @@ class _SketchOp(FittedTransform):
         for p in partials:
             self._td.merge_digests(t, p)
         return t
+
+    def merge_stats(self, old: List[DigestState], new: List[DigestState]) -> List[DigestState]:
+        # partials are mergeable by construction: fit_update simply
+        # accumulates the delta's per-partition digests (each is <=
+        # 2*compression centroids) and re-merges at finalize
+        return list(old) + list(new)
 
 
 class TDigestDistribution(_SketchOp):
@@ -274,6 +331,14 @@ class RobustScale(_SketchOp):
             "q1": F.percentile(c, F.lit(0.25)),
             "q3": F.percentile(c, F.lit(0.75)),
         }
+
+    def merge_stats(self, old: Any, new: Any) -> Any:
+        if self.exact:
+            raise NotImplementedError(
+                "exact percentiles are not mergeable; use the t-digest mode "
+                "(RobustScale(exact=False)) for incremental fit_update"
+            )
+        return super().merge_stats(old, new)
 
     def fit_finalize(self, stats: Any) -> None:
         if self.exact:

@@ -209,10 +209,47 @@ class Pipeline:
             self._fit_wave(df, wave)
         return self
 
+    def fit_update(self, df: DataFrame) -> "Pipeline":
+        """Incremental refit: collect this delta's statistics and merge
+        them into the previous fit via each op's ``merge_stats`` — the
+        reference's combine_stats shard merge applied across fit calls
+        (daily feature-store refresh without rescanning history).
+
+        Restricted to single-wave pipelines: a stats-behind-stats chain
+        would need its downstream raw stats recomputed under the NEW
+        upstream parameters, which requires the historical data.
+        Exactness: scalar moments and NoThreshold vocabularies merge
+        exactly; t-digest merges within sketch tolerance; pruning
+        eliminators re-prune the merged dict (per-fit pushdown pruning
+        makes cross-delta threshold crossings approximate); exact
+        percentiles raise."""
+        if len(self.waves) > 1:
+            raise ValueError(
+                "fit_update supports single-wave pipelines only "
+                "(stats-behind-stats chains need a full fit)"
+            )
+        self.validate_schema(df.schema)
+        for wave in self.waves:
+            self._fit_wave(df, wave, update=True)
+        return self
+
+    @staticmethod
+    def _finalize(op: FittedTransform, stats: Any, update: bool) -> None:
+        if update:
+            prev = getattr(op, "_raw_stats", None)
+            if prev is None:
+                raise RuntimeError(
+                    f"{type(op).__name__}: fit_update requires a prior fit in "
+                    "this process (raw statistics are not persisted in state)"
+                )
+            stats = op.merge_stats(prev, stats)
+        op._raw_stats = stats
+        op.fit_finalize(stats)
+
     def fit_transform(self, df: DataFrame, keep_input: bool = True) -> DataFrame:
         return self.fit(df).transform(df, keep_input=keep_input)
 
-    def _fit_wave(self, df: DataFrame, wave: List[str]) -> None:
+    def _fit_wave(self, df: DataFrame, wave: List[str], update: bool = False) -> None:
         scalar: List[Tuple[str, FittedTransform, Column]] = []
         vocab: List[Tuple[str, FittedTransform, Column]] = []
         sketch: List[Tuple[str, FittedTransform, Column]] = []
@@ -230,14 +267,14 @@ class Pipeline:
                 raise ValueError(op.fit_kind)
 
         if scalar:
-            self._fit_scalar(df, scalar)
+            self._fit_scalar(df, scalar, update)
         if vocab:
-            self._fit_vocab(df, vocab)
+            self._fit_vocab(df, vocab, update)
         if sketch:
-            self._fit_sketch(df, sketch)
+            self._fit_sketch(df, sketch, update)
 
     @staticmethod
-    def _fit_scalar(df: DataFrame, ops: List[Tuple[str, FittedTransform, Column]]) -> None:
+    def _fit_scalar(df: DataFrame, ops: List[Tuple[str, FittedTransform, Column]], update: bool = False) -> None:
         """One df.agg for every scalar-stat op in the wave (shared scan)."""
         aggs: List[Column] = []
         slots: List[Tuple[FittedTransform, List[str]]] = []
@@ -250,10 +287,10 @@ class Pipeline:
             slots.append((op, names))
         row = df.agg(*aggs).collect()[0].asDict()
         for j, (op, names) in enumerate(slots):
-            op.fit_finalize({n: row[f"s{j}__{n}"] for n in names})
+            Pipeline._finalize(op, {n: row[f"s{j}__{n}"] for n in names}, update)
 
     @staticmethod
-    def _fit_vocab(df: DataFrame, ops: List[Tuple[str, FittedTransform, Column]]) -> None:
+    def _fit_vocab(df: DataFrame, ops: List[Tuple[str, FittedTransform, Column]], update: bool = False) -> None:
         """One unpivot + groupBy job for every vocabulary in the wave;
         eliminators applied Spark-side before the collect.  A lone
         vocabulary skips the unpivot (plain groupBy, no explode)."""
@@ -267,7 +304,7 @@ class Pipeline:
                 .agg(F.count("*").alias("cnt"))
             )
             rows = elim.prune_spark(counts, "key", "cnt", group_cols=[]).collect()
-            op.fit_finalize({r["key"]: r["cnt"] for r in rows})
+            Pipeline._finalize(op, {r["key"]: r["cnt"] for r in rows}, update)
             return
         structs = [
             F.struct(F.lit(j).alias("op"), col.cast("string").alias("key"))
@@ -292,7 +329,7 @@ class Pipeline:
         for r in rows:
             by_op[r["op"]][r["key"]] = r["cnt"]
         for j, (_path, op, _col) in enumerate(ops):
-            op.fit_finalize(by_op[j])
+            Pipeline._finalize(op, by_op[j], update)
 
     # above this many input partitions, per-partition sketch partials are
     # tree-merged executor-side into <= this many runs before the driver
@@ -301,7 +338,7 @@ class Pipeline:
     _SKETCH_FANIN = 64
 
     @staticmethod
-    def _fit_sketch(df: DataFrame, ops: List[Tuple[str, FittedTransform, Column]]) -> None:
+    def _fit_sketch(df: DataFrame, ops: List[Tuple[str, FittedTransform, Column]], update: bool = False) -> None:
         """One mapInPandas pass -> per-partition t-digest centroids for
         every sketch op in the wave; contiguous partition runs are merged
         executor-side when the partition count is large (deterministic:
@@ -409,7 +446,7 @@ class Pipeline:
                     d.mean_min = float(means[0])
                     d.mean_max = float(means[-1])
                 partials.append(d)
-            op.fit_finalize(partials)
+            Pipeline._finalize(op, partials, update)
 
     # ------------------------------------------------------------ transform
     def transform(self, df: DataFrame, keep_input: bool = True) -> DataFrame:

@@ -559,13 +559,15 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minhash+LSH candidates + exact-Jaccard verify: output is exactly
-    # {pairs: bigram jaccard >= 0.8} (LSH miss prob at r=2/bands=64 and
-    # j>=0.8 is ~6e-29), so it oracles against all-pairs DuckDB SQL
+    # {pairs: bigram jaccard >= 0.8} (LSH miss prob at r=4/bands=32 is
+    # ~5e-8 at j=0.8 and ~1e-30 at the corpus's actual 0.97+ dups), so
+    # it oracles against all-pairs DuckDB SQL; r=4 keeps candidates
+    # j^4-sparse so the verify stage stays subquadratic at scale
     from torchestra_spark.functions.dedup import minhash_dedup_verified
 
     doc = _t(spark, sf_dir, "documents")
     out = minhash_dedup_verified(
-        doc, "text", "doc_id", k=128, bands=64, shingle_n=2, threshold=0.8
+        doc, "text", "doc_id", k=128, bands=32, shingle_n=2, threshold=0.8
     )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 

@@ -241,7 +241,7 @@ def minhash_dedup_verified(
     text_col: str,
     id_col: str,
     k: int = 128,
-    bands: int = 64,
+    bands: int = 32,
     shingle_n: int = 3,
     threshold: float = 0.8,
     seed: int = 42,
@@ -251,12 +251,15 @@ def minhash_dedup_verified(
     ``{(a,b): jaccard(a,b) >= threshold}`` up to LSH recall.
 
     With r = k/bands rows per band, a pair at true Jaccard j is missed
-    with probability (1 - j^r)^bands; at the defaults (r=2, bands=64)
-    and j >= 0.8 that is (1-0.64)^64 ~ 6e-29 — recall is 1.0 for every
-    realistic corpus, so the result is SQL-checkable against an
-    all-pairs exact-Jaccard oracle.  The false positives that r=2
-    banding admits are discarded by the verify stage, never surfacing
-    in the output."""
+    with probability (1 - j^r)^bands; at the defaults (r=4, bands=32)
+    and j >= 0.8 that is (1-0.41)^32 ~ 5e-8 (and ~1e-30 at j >= 0.97,
+    where real near-dups live) — recall is 1.0 for every realistic
+    corpus, so the result is SQL-checkable against an all-pairs
+    exact-Jaccard oracle.  r matters for the candidate VOLUME: r=2
+    would admit ~j^2-probability false-positive candidates per band
+    (nearly all pairs of a small-vocabulary corpus — quadratic verify
+    cost); r=4 keeps the candidate set ~j^4-sparse while the verify
+    stage discards the remainder, never surfacing in the output."""
     sigs = minhash_signatures(df, text_col, id_col, k=k, shingle_n=shingle_n, seed=seed)
     sigs.persist()
     cands = lsh_candidate_pairs(sigs, id_col, bands=bands).select("id_a", "id_b")

@@ -231,7 +231,11 @@ def embedding_near_dups(
     """
     base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     if method == "exact":
-        l, r = base.alias("l"), base.alias("r")
+        # broadcast-nested-loop parallelism = left-side partitions: a
+        # single-file scan would put the whole O(n^2) loop on one task
+        spark = df.sparkSession
+        n_parts = max(2, spark.sparkContext.defaultParallelism)
+        l, r = base.repartition(n_parts).alias("l"), base.alias("r")
         pairs = l.join(r, F.col("l.__id") < F.col("r.__id")).select(
             F.col("l.__id").alias("id_a"),
             F.col("r.__id").alias("id_b"),

@@ -158,6 +158,26 @@ def _q_tdigest_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.col("value_q"))
 
 
+def _q_fit_update_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental refit: fit on even order keys, fit_update on odd —
+    # min/max and vocabulary counters merge EXACTLY, so the transform
+    # over the full table oracles against a plain full-fit SQL
+    od = _t(spark, sf_dir, "orders")
+    even = od.filter(F.col("o_orderkey") % 2 == 0)
+    odd = od.filter(F.col("o_orderkey") % 2 == 1)
+    pipe = Pipeline(
+        {
+            "price_mm": Feature("o_totalprice", [MinMaxScale()]),
+            "prio_cnt": Feature("o_orderpriority", [CountLookup()]),
+        }
+    )
+    pipe.fit(even).fit_update(odd)
+    out = pipe.transform(od)
+    return out.select(
+        "o_orderkey", F.round("price_mm", 6).alias("price_mm"), "prio_cnt"
+    )
+
+
 def _q_fused_lookups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three fitted lookups applied in ONE pandas UDF / one Arrow
     # crossing (operator stacking on the transform side)
@@ -681,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clamp_nan": _q_clamp_nan,
         "robust_scale": _q_robust_scale,
         "tdigest_cdf": _q_tdigest_cdf,
+        "fit_update_incremental": _q_fit_update_incremental,
         "fused_lookups": _q_fused_lookups,
         "count_lookup": _q_count_lookup,
         "count_lookup_min_threshold": _q_count_lookup_min_threshold,
@@ -757,6 +778,20 @@ def oracle_sql() -> dict[str, str]:
                        (l_extendedprice - AVG(l_extendedprice) OVER ())
                        / STDDEV_SAMP(l_extendedprice) OVER (), -1.0), 1.0), 6) AS price_c
             FROM lineitem
+        """,
+        # incremental fit(even)+fit_update(odd) merges min/max and counts
+        # exactly == one full fit
+        "fit_update_incremental": """
+            WITH s AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+                       FROM orders),
+                 pc AS (SELECT o_orderpriority AS k, COUNT(*) AS cnt
+                        FROM orders GROUP BY 1)
+            SELECT o.o_orderkey,
+                   ROUND((o.o_totalprice - s.mn) / (s.mx - s.mn), 6) AS price_mm,
+                   COALESCE(pc.cnt, 0) AS prio_cnt
+            FROM orders o
+            CROSS JOIN s
+            LEFT JOIN pc ON o.o_orderpriority = pc.k
         """,
         "fused_lookups": """
             WITH pc AS (SELECT o_orderpriority AS k, COUNT(*) AS cnt

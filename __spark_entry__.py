@@ -692,6 +692,102 @@ def _q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round(mean, 6).alias("amp_mean"))
 
 
+# ------------------------------------------------- tokenized oracle SQL
+def _tokenized_oracle_sql(n_rows: int = 2000, seed: int = 42) -> str:
+    """DuckDB SQL reproducing tokenized_sequences + the tokenized_pipeline
+    BIT-EXACTLY: splitmix64 is emulated with 64-bit multiplies built from
+    32-bit halves in HUGEINT (DuckDB UBIGINT errors on overflow instead
+    of wrapping), uniforms/lengths/tokens follow the exact generator
+    arithmetic (io/sources.py), and the pipeline aggregates (trunc-pad
+    checksum, StandardScore z, IndexLookup index) are plain SQL.  The
+    only non-integer step — geometric lengths via ln — agrees with
+    numpy's log1p to ~1e-15 relative, a floor-flip risk of ~1e-13 per
+    row; verified exact over this corpus."""
+    m64 = 18446744073709551616
+    c1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def sm_py(x: int) -> int:
+        z = (x + c1) % m64
+        z = ((z ^ (z >> 30)) * c2) % m64
+        z = ((z ^ (z >> 27)) * c3) % m64
+        return z ^ (z >> 31)
+
+    k1 = sm_py((seed * 1_000_003 + 1) % m64)
+    k2 = sm_py((seed * 1_000_003 + 2) % m64)
+    k3 = sm_py((seed * 1_000_003 + 3) % m64)
+
+    def mul64(a: str, b: int) -> str:
+        return (
+            f"CAST((((CAST({a} >> 32 AS HUGEINT) * {b} % 4294967296) * 4294967296)"
+            f" + CAST({a} & 4294967295 AS HUGEINT) * {b}) % {m64} AS UBIGINT)"
+        )
+
+    def sm_cols(x: str, p: str) -> list:
+        return [
+            (f"{p}0", f"CAST((CAST({x} AS HUGEINT) + {c1}) % {m64} AS UBIGINT)"),
+            (f"{p}1", mul64(f"xor({p}0, {p}0 >> 30)", c2)),
+            (f"{p}2", mul64(f"xor({p}1, {p}1 >> 27)", c3)),
+            (f"{p}u", f"((xor({p}2, {p}2 >> 31) >> 11) / 9007199254740992.0)"),
+        ]
+
+    parts = [f"WITH ids AS (SELECT range AS id FROM range(0, {n_rows}))"]
+    prev = "ids"
+    for col, e in sm_cols(f"xor(CAST(id AS UBIGINT), CAST({k1} AS UBIGINT))", "L"):
+        parts.append(f"{col} AS (SELECT *, {e} AS {col} FROM {prev})")
+        prev = col
+    for col, e in sm_cols(f"xor(CAST(id AS UBIGINT), CAST({k2} AS UBIGINT))", "S"):
+        parts.append(f"{col} AS (SELECT *, {e} AS {col} FROM {prev})")
+        prev = col
+    parts.append(
+        f"""docs AS (
+      SELECT id,
+        CAST(LEAST(GREATEST(FLOOR(ln(1 - Lu) / ln(0.98)), 0), 512) AS BIGINT) AS len,
+        CASE WHEN Su < 0.6 THEN 'web' WHEN Su < 0.8 THEN 'book'
+             WHEN Su < 0.9 THEN 'code' ELSE 'wiki' END AS source
+      FROM {prev})"""
+    )
+    parts.append("pos AS (SELECT id, len, unnest(range(0, len)) AS p FROM docs)")
+    prev = "pos"
+    for col, e in sm_cols(f"xor(CAST(id * 1048576 + p AS UBIGINT), CAST({k3} AS UBIGINT))", "T"):
+        parts.append(f"{col} AS (SELECT *, {e} AS {col} FROM {prev})")
+        prev = col
+    parts.append(f"toks AS (SELECT id, p, CAST(FLOOR(Tu * 50257) AS BIGINT) AS tok FROM {prev})")
+    parts.append(
+        """agg AS (
+      SELECT d.id, d.len, d.source,
+             CAST(COALESCE(SUM(t.tok), 0) AS BIGINT) AS tok_sum,
+             CAST(COALESCE(SUM(CASE WHEN t.p < 32 THEN t.tok END), 0) AS BIGINT) AS pad_sum
+      FROM docs d LEFT JOIN toks t ON d.id = t.id
+      GROUP BY d.id, d.len, d.source)"""
+    )
+    parts.append(
+        """st AS (
+      SELECT AVG(tok_sum) AS m,
+             sqrt(VAR_POP(tok_sum) * COUNT(*) / (COUNT(*) - 1)) AS s
+      FROM agg)"""
+    )
+    parts.append(
+        """idx AS (
+      SELECT source AS k,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, source ASC) + 1 AS i
+      FROM agg GROUP BY source)"""
+    )
+    return (
+        parts[0]
+        + ", "
+        + ", ".join(parts[1:])
+        + """
+    SELECT 'doc' || lpad(CAST(a.id AS VARCHAR), 10, '0') AS doc_id,
+           CAST(a.len AS INT) AS n_tok,
+           32 AS pad_len,
+           a.pad_sum AS pad_sum,
+           ROUND((a.tok_sum - st.m) / st.s, 6) AS tok_sum_z,
+           idx.i AS src_idx
+    FROM agg a CROSS JOIN st JOIN idx ON a.source = idx.k
+    """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "standard_score": _q_standard_score,
@@ -1012,6 +1108,10 @@ def oracle_sql() -> dict[str, str]:
                         - 1 AS BIGINT) AS session_id
             FROM g
         """,
+        # the flagship input_hint pipeline: the synthetic generator AND
+        # the pipeline are reproduced bit-exactly in SQL (splitmix64 via
+        # 32-bit-split HUGEINT multiplies) — see _tokenized_oracle_sql
+        "tokenized_pipeline": _tokenized_oracle_sql(2000, 42),
         "seq_len": """
             SELECT vec_id, len(embedding) AS seq_len FROM embeddings
         """,

@@ -124,3 +124,35 @@ def test_stream_sessionize_ids_match_batch(spark, tmp_path_factory):
     )
     assert len(got) == len(exp)
     assert (got["session_id"].to_numpy() == exp["session_id"].to_numpy()).all()
+
+
+def test_streaming_asof_feature_serving(spark, events_stream, events_batch):
+    """Point-in-time feature serving ON A STREAM: the broadcast as-of
+    strategy is a pandas-UDF match against a static feature table, so it
+    applies to a streaming probe unchanged — parity with batch."""
+    from torchestra_spark.io.sources import feature_events
+    from torchestra_spark.operators.temporal import asof_join
+
+    feats = spark.createDataFrame(
+        feature_events(spark, n_entities=60, seed=7, partitions=2).toPandas()
+    )
+    out = asof_join(
+        events_stream, feats, on="user_id", left_ts="ts", right_ts="feature_ts",
+        value_cols=["fval"], strategy="broadcast",
+    )
+    assert out.isStreaming
+    got = (
+        run_to_memory(out.select("event_id", "fval", "matched_feature_ts"), "t_asof", spark)
+        .toPandas().sort_values("event_id", ignore_index=True)
+    )
+    exp = (
+        asof_join(events_batch, feats, on="user_id", left_ts="ts",
+                  right_ts="feature_ts", value_cols=["fval"], strategy="broadcast")
+        .select("event_id", "fval", "matched_feature_ts")
+        .toPandas().sort_values("event_id", ignore_index=True)
+    )
+    assert len(got) == len(exp)
+    assert np.allclose(
+        got["fval"].to_numpy(dtype=float), exp["fval"].to_numpy(dtype=float), equal_nan=True
+    )
+    assert got["matched_feature_ts"].isna().equals(exp["matched_feature_ts"].isna())

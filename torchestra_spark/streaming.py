@@ -7,10 +7,16 @@ The engine's streaming story follows the feature-store pattern:
 * **fit in batch, serve on stream** — a fitted ``Pipeline``'s transform
   is pure Column expressions / Arrow UDFs over frozen state, so it
   applies to a streaming DataFrame unchanged (``apply_pipeline``);
+* **point-in-time serving on a stream** — the broadcast as-of strategy
+  (operators/temporal.py) is a pandas-UDF match against a static
+  feature table, so ``asof_join(stream_df, features,
+  strategy='broadcast')`` works on a streaming probe unchanged (tested
+  for batch parity in tests/test_streaming.py);
 * **watermarked session windows** — gap-based sessionization on a
   stream uses Spark's native ``session_window`` with a watermark for
   late data (the batch engine's cumulative-sum ``sessionize`` assigns
-  per-event ids; the streaming form aggregates per session);
+  per-event ids; ``stream_sessionize_ids`` reproduces those ids
+  statefully, and ``stream_sessionize`` aggregates per session);
 * **windowed aggregates** — tumbling-window per-entity stats with
   late-data handling.
 

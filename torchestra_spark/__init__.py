@@ -48,6 +48,7 @@ from torchestra_spark.operators.wrappers import (
 )
 from torchestra_spark.operators.lookups import (
     CountLookup,
+    fused_lookups,
     RatioLookup,
     IndexLookup,
     IntCountLookup,
@@ -59,7 +60,7 @@ from torchestra_spark.operators.lookups import (
     TopK,
     sort_counts,
 )
-from torchestra_spark.plans.pipeline import Pipeline, Feature
+from torchestra_spark.plans.pipeline import Pipeline, Feature, combine_features
 from torchestra_spark.featurestore import FeatureStore
 from torchestra_spark.checkpoint import CheckpointedWriter
 
@@ -94,8 +95,10 @@ __all__ = [
     "RatioThreshold",
     "TopK",
     "sort_counts",
+    "fused_lookups",
     "Pipeline",
     "Feature",
+    "combine_features",
     "FeatureStore",
     "CheckpointedWriter",
 ]

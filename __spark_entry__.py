@@ -430,6 +430,23 @@ def _q_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # trailing 6h range-frame window features (inclusive boundaries;
+    # deterministic under timestamp ties) — one exchange, one frame pass
+    from torchestra_spark.operators.temporal import rolling_stats
+
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_stats(ev, "user_id", "ts", "value", 6 * 3600.0,
+                        stats=("mean", "min", "max", "count"), suffix="")
+    return out.select(
+        "event_id",
+        F.round("value_roll_mean", 6).alias("roll_mean"),
+        F.round("value_roll_min", 6).alias("roll_min"),
+        F.round("value_roll_max", 6).alias("roll_max"),
+        F.col("value_roll_count").alias("roll_count"),
+    )
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     out = sessionize(ev, "user_id", ["ts", "event_id"], gap_sec=6 * 3600.0)
@@ -819,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_tolerance": _q_asof_join_tolerance,
         "lag_lead": _q_lag_lead,
         "fill_forward": _q_fill_forward,
+        "rolling_stats": _q_rolling_stats,
         "sessionize": _q_sessionize,
         "seq_len": _q_seq_len,
         "seq_trunc_sum": _q_seq_trunc_sum,
@@ -1092,6 +1110,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "rolling_stats": """
+            SELECT event_id,
+                   ROUND(AVG(value) OVER w, 6) AS roll_mean,
+                   ROUND(MIN(value) OVER w, 6) AS roll_min,
+                   ROUND(MAX(value) OVER w, 6) AS roll_max,
+                   COUNT(value) OVER w AS roll_count
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND CURRENT ROW)
         """,
         "sessionize": """
             WITH g AS (

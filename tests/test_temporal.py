@@ -314,3 +314,30 @@ def test_asof_randomized_vs_merge_asof(spark, seed):
         gm, em = got["matched_feature_ts"], exp["feature_ts"]
         assert gm.isna().equals(em.isna()), strategy
         assert (gm.dropna().to_numpy() == em.dropna().to_numpy()).all(), strategy
+
+
+def test_rolling_stats_vs_numpy(spark, events, events_pd):
+    """Trailing 6h range-window mean/count vs a brute-force O(n^2) numpy
+    oracle with the same inclusive-boundary semantics."""
+    from torchestra_spark.operators.temporal import rolling_stats
+
+    win = 6 * 3600.0
+    out = rolling_stats(events, "user_id", "ts", "value", win, stats=("mean", "count"))
+    got = (
+        out.select("event_id", f"value_roll_mean_{int(win)}s", f"value_roll_count_{int(win)}s")
+        .toPandas().sort_values("event_id", ignore_index=True)
+    )
+    e = events_pd
+    sec = e["ts"].astype("int64").to_numpy() / 1e9
+    uid = e["user_id"].to_numpy()
+    val = e["value"].to_numpy()
+    means = np.empty(len(e)); counts = np.empty(len(e), dtype=np.int64)
+    for i in range(len(e)):
+        m = (uid == uid[i]) & (sec >= sec[i] - win) & (sec <= sec[i])
+        means[i] = np.nanmean(val[m]) if np.isfinite(val[m]).any() else np.nan
+        counts[i] = np.isfinite(val[m]).sum()
+    exp = e.assign(m=means, c=counts).sort_values("event_id", ignore_index=True)
+    assert (got[f"value_roll_count_{int(win)}s"].to_numpy() == exp["c"].to_numpy()).all()
+    assert np.allclose(
+        got[f"value_roll_mean_{int(win)}s"].to_numpy(), exp["m"].to_numpy(), equal_nan=True
+    )

@@ -479,6 +479,53 @@ def _order_cols(ts):
     return [ts] if isinstance(ts, str) else list(ts)
 
 
+_ROLLING_FNS = {
+    "mean": F.avg,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+    "stddev": F.stddev_samp,
+}
+
+
+def rolling_stats(
+    df: DataFrame,
+    entity: str,
+    ts: str,
+    value: str,
+    window_sec: float,
+    stats: Sequence[str] = ("mean", "min", "max", "count"),
+    suffix: Optional[str] = None,
+) -> DataFrame:
+    """Trailing time-range window features: for each row, aggregate
+    ``value`` over this entity's rows with ``ts`` in
+    ``[row.ts - window_sec, row.ts]`` (both ends inclusive — rows at
+    exactly the boundary or with equal timestamps are all included,
+    independent of physical order, so results are deterministic under
+    ties).
+
+    One Catalyst range-frame window per call: a single entity-hash
+    exchange + sort, all aggregates computed in the same frame pass —
+    the classic "7-day rolling mean/min/max" feature at any scale.
+    Leakage-free: the frame never looks past the current timestamp.
+    """
+    for s in stats:
+        if s not in _ROLLING_FNS:
+            raise ValueError(f"unknown stat {s!r}; choose from {sorted(_ROLLING_FNS)}")
+    sfx = suffix if suffix is not None else f"_{int(window_sec)}s"
+    # range frames need integral bounds: order by epoch micros (long)
+    w = (
+        Window.partitionBy(entity)
+        .orderBy(F.unix_micros(F.col(ts).cast("timestamp")))
+        .rangeBetween(-int(window_sec * 1_000_000), 0)
+    )
+    out = df
+    for s in stats:
+        out = out.withColumn(f"{value}_roll_{s}{sfx}", _ROLLING_FNS[s](F.col(value)).over(w))
+    return out
+
+
 def lag_lead(
     df: DataFrame,
     entity: str,

@@ -115,3 +115,12 @@ def test_bucketed_layout_removes_exchange(spark, tmp_path):
         assert np.allclose(a["value_lag1"], c["value_lag1"], equal_nan=True)
     finally:
         spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+
+
+def test_featurestore_rolling(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    store = FeatureStore(entity="user_id", ts="ts").add_rolling("value", 3600.0, ("mean", "count"))
+    out = store.build(ev, fit=False)
+    assert "value_roll_mean_3600s" in out.columns
+    row = out.filter(F.col("value").isNotNull()).first()
+    assert row["value_roll_count_3600s"] >= 1

@@ -25,7 +25,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from torchestra_spark.checkpoint import CheckpointedWriter
-from torchestra_spark.operators.temporal import asof_join, fill_forward, lag_lead, sessionize
+from torchestra_spark.operators.temporal import (
+    asof_join,
+    fill_forward,
+    lag_lead,
+    rolling_stats,
+    sessionize,
+)
 from torchestra_spark.plans.pipeline import Pipeline
 from torchestra_spark.state import StateArtifact
 
@@ -37,6 +43,7 @@ class FeatureStore:
         self._order = [ts] + ([order_tiebreak] if order_tiebreak else [])
         self._feature_tables: List[Tuple[str, DataFrame, str, dict]] = []
         self._lags: List[Tuple[str, Sequence[int], Sequence[int]]] = []
+        self._rolling: List[Tuple[str, float, Tuple[str, ...]]] = []
         self._ffill: List[str] = []
         self._session_gap: Optional[float] = None
         self._pipeline: Optional[Pipeline] = None
@@ -80,6 +87,14 @@ class FeatureStore:
         self._session_gap = gap_sec
         return self
 
+    def add_rolling(
+        self, col: str, window_sec: float, stats: Sequence[str] = ("mean", "min", "max", "count")
+    ) -> "FeatureStore":
+        """Trailing time-range window features over ``col`` (one
+        range-frame pass per declaration)."""
+        self._rolling.append((col, float(window_sec), tuple(stats)))
+        return self
+
     def add_pipeline(self, pipeline: Pipeline) -> "FeatureStore":
         self._pipeline = pipeline
         return self
@@ -94,6 +109,8 @@ class FeatureStore:
             df = df.withColumnRenamed(f"matched_{fts}", f"{name}_matched_ts")
         for col, lags, leads in self._lags:
             df = lag_lead(df, self.entity, self._order, col, lags=lags, leads=leads)
+        for col, win, stats in self._rolling:
+            df = rolling_stats(df, self.entity, self.ts, col, win, stats=stats)
         if self._ffill:
             df = fill_forward(df, self.entity, self._order, self._ffill)
         if self._session_gap is not None:

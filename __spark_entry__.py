@@ -609,6 +609,17 @@ def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_simhash_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # token-id simhash over the input_hint table: integer-exact
+    # splitmix64 hashing makes the WHOLE sketch SQL-reproducible —
+    # per-doc 64-bit signatures value-checked bit-for-bit
+    from torchestra_spark.functions.dedup import simhash_tokens
+    from torchestra_spark.io.sources import tokenized_sequences
+
+    toks = tokenized_sequences(spark, 2000, seed=42, partitions=8)
+    return simhash_tokens(toks, "tokens", "doc_id")
+
+
 def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from torchestra_spark.functions.dedup import simhash_near_dups
 
@@ -710,7 +721,38 @@ def _q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------- tokenized oracle SQL
-def _tokenized_oracle_sql(n_rows: int = 2000, seed: int = 42) -> str:
+_SM_M64 = 18446744073709551616
+_SM_C1, _SM_C2, _SM_C3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+
+def _sm_py(x: int) -> int:
+    z = (x + _SM_C1) % _SM_M64
+    z = ((z ^ (z >> 30)) * _SM_C2) % _SM_M64
+    z = ((z ^ (z >> 27)) * _SM_C3) % _SM_M64
+    return z ^ (z >> 31)
+
+
+def _sm_mul64(a: str, b: int) -> str:
+    """64-bit wrapping multiply in DuckDB: 32-bit halves via HUGEINT
+    (UBIGINT errors on overflow instead of wrapping)."""
+    return (
+        f"CAST((((CAST({a} >> 32 AS HUGEINT) * {b} % 4294967296) * 4294967296)"
+        f" + CAST({a} & 4294967295 AS HUGEINT) * {b}) % {_SM_M64} AS UBIGINT)"
+    )
+
+
+def _sm_cols(x: str, p: str) -> list:
+    """splitmix64 as a chain of CTE columns over input expr ``x``; the
+    final column {p}u is the U[0,1) uniform, {p}2-xor form is the hash."""
+    return [
+        (f"{p}0", f"CAST((CAST({x} AS HUGEINT) + {_SM_C1}) % {_SM_M64} AS UBIGINT)"),
+        (f"{p}1", _sm_mul64(f"xor({p}0, {p}0 >> 30)", _SM_C2)),
+        (f"{p}2", _sm_mul64(f"xor({p}1, {p}1 >> 27)", _SM_C3)),
+        (f"{p}u", f"((xor({p}2, {p}2 >> 31) >> 11) / 9007199254740992.0)"),
+    ]
+
+
+def _tokenized_cte_parts(n_rows: int = 2000, seed: int = 42) -> list:
     """DuckDB SQL reproducing tokenized_sequences + the tokenized_pipeline
     BIT-EXACTLY: splitmix64 is emulated with 64-bit multiplies built from
     32-bit halves in HUGEINT (DuckDB UBIGINT errors on overflow instead
@@ -720,32 +762,10 @@ def _tokenized_oracle_sql(n_rows: int = 2000, seed: int = 42) -> str:
     only non-integer step — geometric lengths via ln — agrees with
     numpy's log1p to ~1e-15 relative, a floor-flip risk of ~1e-13 per
     row; verified exact over this corpus."""
-    m64 = 18446744073709551616
-    c1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
-
-    def sm_py(x: int) -> int:
-        z = (x + c1) % m64
-        z = ((z ^ (z >> 30)) * c2) % m64
-        z = ((z ^ (z >> 27)) * c3) % m64
-        return z ^ (z >> 31)
-
-    k1 = sm_py((seed * 1_000_003 + 1) % m64)
-    k2 = sm_py((seed * 1_000_003 + 2) % m64)
-    k3 = sm_py((seed * 1_000_003 + 3) % m64)
-
-    def mul64(a: str, b: int) -> str:
-        return (
-            f"CAST((((CAST({a} >> 32 AS HUGEINT) * {b} % 4294967296) * 4294967296)"
-            f" + CAST({a} & 4294967295 AS HUGEINT) * {b}) % {m64} AS UBIGINT)"
-        )
-
-    def sm_cols(x: str, p: str) -> list:
-        return [
-            (f"{p}0", f"CAST((CAST({x} AS HUGEINT) + {c1}) % {m64} AS UBIGINT)"),
-            (f"{p}1", mul64(f"xor({p}0, {p}0 >> 30)", c2)),
-            (f"{p}2", mul64(f"xor({p}1, {p}1 >> 27)", c3)),
-            (f"{p}u", f"((xor({p}2, {p}2 >> 31) >> 11) / 9007199254740992.0)"),
-        ]
+    k1 = _sm_py((seed * 1_000_003 + 1) % _SM_M64)
+    k2 = _sm_py((seed * 1_000_003 + 2) % _SM_M64)
+    k3 = _sm_py((seed * 1_000_003 + 3) % _SM_M64)
+    sm_cols = _sm_cols
 
     parts = [f"WITH ids AS (SELECT range AS id FROM range(0, {n_rows}))"]
     prev = "ids"
@@ -769,6 +789,11 @@ def _tokenized_oracle_sql(n_rows: int = 2000, seed: int = 42) -> str:
         parts.append(f"{col} AS (SELECT *, {e} AS {col} FROM {prev})")
         prev = col
     parts.append(f"toks AS (SELECT id, p, CAST(FLOOR(Tu * 50257) AS BIGINT) AS tok FROM {prev})")
+    return parts
+
+
+def _tokenized_oracle_tail(parts: list) -> str:
+    parts = list(parts)
     parts.append(
         """agg AS (
       SELECT d.id, d.len, d.source,
@@ -801,6 +826,48 @@ def _tokenized_oracle_sql(n_rows: int = 2000, seed: int = 42) -> str:
            ROUND((a.tok_sum - st.m) / st.s, 6) AS tok_sum_z,
            idx.i AS src_idx
     FROM agg a CROSS JOIN st JOIN idx ON a.source = idx.k
+    """
+    )
+
+
+def _tokenized_oracle_sql(n_rows: int = 2000, seed: int = 42) -> str:
+    return _tokenized_oracle_tail(_tokenized_cte_parts(n_rows, seed))
+
+
+def _simhash_tokens_oracle_sql(n_rows: int = 2000, seed: int = 42) -> str:
+    """Token-id SimHash reproduced in SQL: token hash via the splitmix64
+    CTE chain, per-(doc, bit) ±1 vote sums, bit packing with the uint64
+    -> int64 wrap Spark applies."""
+    parts = _tokenized_cte_parts(n_rows, seed)  # ends with the toks CTE
+    prev = "toks"
+    for c, e in _sm_cols("CAST(tok AS UBIGINT)", "H"):
+        parts.append(f"{c} AS (SELECT *, {e} AS {c} FROM {prev})")
+        prev = c
+    parts.append(f"th AS (SELECT id, xor(H2, H2 >> 31) AS h FROM {prev})")
+    parts.append(
+        """bits AS (
+      SELECT t.id, CAST(b.range AS INT) AS b,
+             SUM(CASE WHEN (t.h >> CAST(b.range AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM th t CROSS JOIN range(64) b GROUP BY t.id, b.range)"""
+    )
+    parts.append(
+        """sig AS (
+      SELECT id,
+             SUM(CASE WHEN vote > 0
+                      THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT)
+                      ELSE CAST(0 AS HUGEINT) END) AS s
+      FROM bits GROUP BY id)"""
+    )
+    return (
+        parts[0]
+        + ", "
+        + ", ".join(parts[1:])
+        + """
+    SELECT 'doc' || lpad(CAST(d.id AS VARCHAR), 10, '0') AS doc_id,
+           CAST(CASE WHEN COALESCE(g.s, 0) >= 9223372036854775808
+                     THEN COALESCE(g.s, 0) - 18446744073709551616
+                     ELSE COALESCE(g.s, 0) END AS BIGINT) AS simhash
+    FROM docs d LEFT JOIN sig g ON d.id = g.id
     """
     )
 
@@ -851,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mark_exact_dups": _q_mark_exact_dups,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_dedup": _q_minhash_dedup,
+        "simhash_tokens": _q_simhash_tokens,
         "simhash_near_dups": _q_simhash_near_dups,
         "cosine_topk": _q_cosine_topk,
         "ann_topk": _q_ann_topk,
@@ -1140,6 +1208,7 @@ def oracle_sql() -> dict[str, str]:
         # the pipeline are reproduced bit-exactly in SQL (splitmix64 via
         # 32-bit-split HUGEINT multiplies) — see _tokenized_oracle_sql
         "tokenized_pipeline": _tokenized_oracle_sql(2000, 42),
+        "simhash_tokens": _simhash_tokens_oracle_sql(2000, 42),
         "seq_len": """
             SELECT vec_id, len(embedding) AS seq_len FROM embeddings
         """,

@@ -306,6 +306,41 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return toks.mapInPandas(sketch, out_schema).withColumnRenamed("__id", id_col)
 
 
+def simhash_tokens(df: DataFrame, tokens_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash over INTEGER token ids (pre-tokenized corpora, the
+    input_hint table shape): each token id is hashed with splitmix64
+    (io/sources.py — the same counter-based hash as the generator), so
+    the whole sketch is integer-exact and SQL-reproducible end-to-end
+    (driver oracle `simhash_tokens`).  Same batch-vectorized vote kernel
+    as the text simhash."""
+    from torchestra_spark.io.sources import _splitmix64
+
+    sel = df.select(F.col(id_col).alias("__id"), F.col(tokens_col).alias("__t"))
+
+    def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype=np.int64)
+            lens = pdf["__t"].map(lambda t: 0 if t is None else len(t)).to_numpy(np.int64)
+            if lens.sum() > 0:
+                all_tok = np.concatenate(
+                    [np.asarray(t, dtype=np.int64) for t in pdf["__t"] if t is not None and len(t)]
+                )
+                all_h = _splitmix64(all_tok.astype(np.uint64))
+                bits = ((all_h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+                votes_all = np.concatenate([2 * bits - 1, np.zeros((1, 64), dtype=np.int64)])
+                starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+                votes = np.add.reduceat(votes_all, starts, axis=0)
+                sig = (votes > 0).astype(np.uint64)
+                vals = (sig << bit_idx[None, :]).sum(axis=1).astype(np.int64)
+                vals[lens == 0] = 0
+                out = vals
+            yield pd.DataFrame({"__id": pdf["__id"], "simhash": out})
+
+    out_schema = f"__id {df.schema[id_col].dataType.simpleString()}, simhash bigint"
+    return sel.mapInPandas(sketch, out_schema).withColumnRenamed("__id", id_col)
+
+
 def simhash_near_dups(
     df: DataFrame,
     text_col: str,

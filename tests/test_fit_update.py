@@ -98,3 +98,23 @@ def test_min_threshold_update_crosses_threshold(spark):
     Pipeline({"c": Feature("cat", [c])}).fit(d1).fit_update(d2)
     assert c.counts["a"] == 15
     assert c.counts["b"] == 7  # >= threshold in both deltas: exact
+
+
+def test_meanscale_unweighted_shard_merge_parity(spark):
+    """MeanScale(shard_merge='unweighted') replicates the reference's
+    combine_stats (equal average of shard means, _normalization.py:54)
+    across fit calls — three unequal shards average equally."""
+    shards = [
+        spark.createDataFrame([(float(v),) for v in vals], "x double")
+        for vals in ([1.0, 3.0], [10.0] * 8, [100.0])
+    ]
+    op = MeanScale(shard_merge="unweighted")
+    pipe = Pipeline({"m": Feature("x", [op])})
+    pipe.fit(shards[0]).fit_update(shards[1]).fit_update(shards[2])
+    assert op.mean == (2.0 + 10.0 + 100.0) / 3  # equal shard average
+    assert op.delta == 100.0 - 1.0
+    # default weighted mode gives the true full-data mean
+    opw = MeanScale()
+    pw = Pipeline({"m": Feature("x", [opw])})
+    pw.fit(shards[0]).fit_update(shards[1]).fit_update(shards[2])
+    assert np.isclose(opw.mean, (1 + 3 + 80 + 100) / 11)

@@ -108,8 +108,17 @@ class MeanScale(FittedTransform):
     input_kinds = ("numeric", "boolean")
     output_kind = "numeric"
 
-    def __init__(self) -> None:
+    def __init__(self, shard_merge: str = "weighted") -> None:
+        """``shard_merge`` governs how ``Pipeline.fit_update`` combines
+        fit calls: 'weighted' (count-weighted, mathematically the full-
+        data mean) or 'unweighted' — the reference's combine_stats
+        averages shard means EQUALLY (_normalization.py:54), so the
+        unweighted mode replicates a reference run whose shards were the
+        successive fit calls."""
         super().__init__()
+        if shard_merge not in ("weighted", "unweighted"):
+            raise ValueError(shard_merge)
+        self.shard_merge = shard_merge
         self.mean = 0.0
         self.delta = 0.0
 
@@ -123,6 +132,17 @@ class MeanScale(FittedTransform):
         self._fitted = True
 
     def merge_stats(self, old: Dict[str, Any], new: Dict[str, Any]) -> Dict[str, Any]:
+        if self.shard_merge == "unweighted":
+            # reference parity: equal average over all fit calls so far
+            means = list(old.get("means", [old.get("mean")])) + [new.get("mean")]
+            means = [m for m in means if m is not None]
+            return {
+                "means": means,
+                "mean": sum(float(m) for m in means) / len(means) if means else None,
+                "min": _merge_extreme(old.get("min"), new.get("min"), min),
+                "max": _merge_extreme(old.get("max"), new.get("max"), max),
+                "n": int(old.get("n") or 0) + int(new.get("n") or 0),
+            }
         return _merge_moment_stats(old, new, with_var=False)
 
     def expr(self, col: Column) -> Column:
@@ -130,11 +150,12 @@ class MeanScale(FittedTransform):
         return _scale_expr(col, self.mean, self.delta)
 
     def get_state(self) -> Dict[str, Any]:
-        return {"mean": self.mean, "delta": self.delta}
+        return {"mean": self.mean, "delta": self.delta, "shard_merge": self.shard_merge}
 
     def set_state(self, state: Dict[str, Any]) -> None:
         self.mean = float(state["mean"])
         self.delta = float(state["delta"])
+        self.shard_merge = state.get("shard_merge", "weighted")
         self._fitted = True
 
 

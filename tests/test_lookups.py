@@ -234,3 +234,25 @@ def test_fused_lookups_single_arrow_crossing(spark):
     )
     plan = fused_df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_fused_lookups_broadcast_branch(spark):
+    """Vocabularies above _BROADCAST_MIN ride a TorrentBroadcast inside
+    the fused UDF — same results as the per-op exprs."""
+    import numpy as np
+
+    from torchestra_spark.operators.lookups import _BROADCAST_MIN, fused_lookups
+    from torchestra_spark.plans.pipeline import Feature, Pipeline
+
+    n = _BROADCAST_MIN + 500
+    keys = [f"k{i:05d}" for i in range(n)]
+    df = spark.createDataFrame(pd.DataFrame({"cat": keys * 2}))
+    c, ix = CountLookup(), IndexLookup()
+    pipe = Pipeline({"cnt": Feature("cat", [c]), "idx": Feature("cat", [ix])})
+    pipe.fit(df)
+    assert sum(len(s.mapping) for s in [c.mapping_spec(), ix.mapping_spec()]) >= _BROADCAST_MIN
+    probe = spark.createDataFrame(pd.DataFrame({"cat": keys[:50] + ["unseen"]}))
+    out = fused_lookups(probe, {"cnt": (c, "cat"), "idx": (ix, "cat")}).toPandas()
+    assert (out.loc[out["cat"] != "unseen", "cnt"] == 2).all()
+    assert (out.loc[out["cat"] == "unseen", "cnt"] == 0).all()
+    assert (out.loc[out["cat"] == "unseen", "idx"] == 1).all()  # unknown_idx

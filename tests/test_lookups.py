@@ -256,3 +256,16 @@ def test_fused_lookups_broadcast_branch(spark):
     assert (out.loc[out["cat"] != "unseen", "cnt"] == 2).all()
     assert (out.loc[out["cat"] == "unseen", "cnt"] == 0).all()
     assert (out.loc[out["cat"] == "unseen", "idx"] == 1).all()  # unknown_idx
+
+
+def test_vocab_collect_cap(spark, monkeypatch):
+    """An unbounded-cardinality vocabulary without an eliminator raises
+    an actionable error instead of silently OOMing the driver."""
+    from torchestra_spark.plans.pipeline import Feature, Pipeline
+
+    monkeypatch.setattr(Pipeline, "_MAX_VOCAB", 10)
+    df = spark.createDataFrame(pd.DataFrame({"cat": [f"k{i}" for i in range(50)]}))
+    with pytest.raises(RuntimeError, match="Add an eliminator"):
+        Pipeline({"c": Feature("cat", [CountLookup()])}).fit(df)
+    # an eliminator that keeps it under the cap fits fine
+    Pipeline({"c": Feature("cat", [CountLookup(TopK(5))])}).fit(df)

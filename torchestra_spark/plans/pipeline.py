@@ -289,6 +289,24 @@ class Pipeline:
         for j, (op, names) in enumerate(slots):
             Pipeline._finalize(op, {n: row[f"s{j}__{n}"] for n in names}, update)
 
+    # Hard ceiling on vocabulary rows collected to the driver: above
+    # this, a fit would OOM the driver silently — raise an actionable
+    # error instead (add a TopK/MinThreshold eliminator).  Override via
+    # SPARK_GRAFT_MAX_VOCAB.
+    _MAX_VOCAB = int(__import__("os").environ.get("SPARK_GRAFT_MAX_VOCAB", 10_000_000))
+
+    @staticmethod
+    def _collect_vocab(df: DataFrame, what: str) -> list:
+        cap = Pipeline._MAX_VOCAB
+        rows = df.limit(cap + 1).collect()
+        if len(rows) > cap:
+            raise RuntimeError(
+                f"{what}: vocabulary exceeds {cap} surviving keys — the "
+                "driver cannot hold it.  Add an eliminator (TopK / "
+                "MinThreshold / RatioThreshold) or raise SPARK_GRAFT_MAX_VOCAB."
+            )
+        return rows
+
     @staticmethod
     def _fit_vocab(df: DataFrame, ops: List[Tuple[str, FittedTransform, Column]], update: bool = False) -> None:
         """One unpivot + groupBy job for every vocabulary in the wave;
@@ -303,7 +321,9 @@ class Pipeline:
                 .groupBy("key")
                 .agg(F.count("*").alias("cnt"))
             )
-            rows = elim.prune_spark(counts, "key", "cnt", group_cols=[]).collect()
+            rows = Pipeline._collect_vocab(
+                elim.prune_spark(counts, "key", "cnt", group_cols=[]), _path
+            )
             Pipeline._finalize(op, {r["key"]: r["cnt"] for r in rows}, update)
             return
         structs = [
@@ -322,7 +342,7 @@ class Pipeline:
                 sub = counts.filter(F.col("op") == j)
                 sub = elim.prune_spark(sub, "key", "cnt", group_cols=[])
                 pruned = sub if pruned is None else pruned.unionAll(sub)
-            rows = pruned.collect()
+            rows = Pipeline._collect_vocab(pruned, "vocab wave")
         finally:
             counts.unpersist()
         by_op: Dict[int, Dict[str, int]] = {j: {} for j in range(len(ops))}

@@ -50,3 +50,28 @@ def test_tostr_python_float_parity(spark):
     di = spark.createDataFrame([(7,), (-12,)], "x int")
     got_i = [r["s"] for r in di.select(ToStr().expr(F.col("x")).alias("s")).collect()]
     assert got_i == ["7", "-12"]
+
+
+def test_nan_to_num_overrides(spark):
+    """Mirrors the reference's nan/posinf/neginf override tests
+    (test_wrappers.py): each replacement is independently overridable."""
+    from torchestra_spark.operators.wrappers import NanToNum
+
+    df = spark.createDataFrame([(0,)], "i int").select(
+        F.lit(float("nan")).alias("n"),
+        F.lit(float("inf")).alias("p"),
+        F.lit(float("-inf")).alias("m"),
+        F.lit(1.5).alias("x"),
+    )
+    op = NanToNum(nan=-1.0, posinf=99.0, neginf=-99.0)
+    row = df.select(
+        op.expr(F.col("n")).alias("n"),
+        op.expr(F.col("p")).alias("p"),
+        op.expr(F.col("m")).alias("m"),
+        op.expr(F.col("x")).alias("x"),
+    ).collect()[0]
+    assert row["n"] == -1.0 and row["p"] == 99.0 and row["m"] == -99.0 and row["x"] == 1.5
+    # defaults: ±inf -> f64 max magnitude (torch.nan_to_num semantics)
+    d = NanToNum()
+    row2 = df.select(d.expr(F.col("p")).alias("p"), d.expr(F.col("m")).alias("m")).collect()[0]
+    assert row2["p"] > 1e308 and row2["m"] < -1e308

@@ -430,6 +430,18 @@ def _q_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-group fitted normalization (train params per event_type, apply
+    # to every row) — mean/std from the same var_pop*n/(n-1) formula the
+    # SQL oracle uses, so values match bit-for-bit at round(6)
+    from torchestra_spark.operators.scalers import GroupedStandardScore
+
+    ev = _t(spark, sf_dir, "events")
+    pipe = Pipeline({"value_gz": Feature("value", [GroupedStandardScore("event_type")])})
+    out = pipe.fit_transform(ev)
+    return out.select("event_id", F.round("value_gz", 6).alias("value_gz"))
+
+
 def _q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trailing 6h range-frame window features (inclusive boundaries;
     # deterministic under timestamp ties) — one exchange, one frame pass
@@ -903,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_tolerance": _q_asof_join_tolerance,
         "lag_lead": _q_lag_lead,
         "fill_forward": _q_fill_forward,
+        "grouped_zscore": _q_grouped_zscore,
         "rolling_stats": _q_rolling_stats,
         "sessionize": _q_sessionize,
         "seq_len": _q_seq_len,
@@ -1178,6 +1191,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "grouped_zscore": """
+            WITH s AS (
+                SELECT event_type,
+                       COUNT(value) AS n, AVG(value) AS m, VAR_POP(value) AS v
+                FROM events GROUP BY event_type
+            )
+            SELECT e.event_id,
+                   ROUND((e.value - s.m) / sqrt(s.v * s.n / (s.n - 1)), 6) AS value_gz
+            FROM events e JOIN s ON e.event_type = s.event_type
         """,
         "rolling_stats": """
             SELECT event_id,

@@ -206,3 +206,61 @@ def test_robust_scale_exact_state_roundtrip(spark, tmp_path):
     a = pipe.transform(df).select("r").toPandas()
     b = pipe2.transform(df).select("r").toPandas()
     assert (a["r"] == b["r"]).all()
+
+
+def test_grouped_standard_score(spark):
+    """Per-group fitted z-score: train params on one table, serve on
+    another; OOV group -> NaN; numpy oracle per group."""
+    import numpy as np
+
+    from torchestra_spark.operators.scalers import GroupedStandardScore
+    from torchestra_spark.plans.pipeline import Feature, Pipeline
+
+    rng = np.random.RandomState(1)
+    train = pd.DataFrame(
+        {"g": rng.choice(["a", "b", "c"], 600), "x": rng.randn(600) * 3 + 5}
+    )
+    op = GroupedStandardScore("g")
+    pipe = Pipeline({"z": Feature("x", [op])})
+    pipe.fit(spark.createDataFrame(train))
+    for g in "abc":
+        v = train.loc[train["g"] == g, "x"]
+        m, s = op.params[g]
+        assert np.isclose(m, v.mean()) and np.isclose(s, v.std(ddof=1))
+    # serve on a different table incl. an unseen group
+    probe = pd.DataFrame({"g": ["a", "b", "zz"], "x": [5.0, 6.0, 7.0]})
+    got = (
+        pipe.transform(spark.createDataFrame(probe))
+        .select("z").toPandas()["z"].to_numpy()
+    )
+    exp_a = (5.0 - op.params["a"][0]) / op.params["a"][1]
+    exp_b = (6.0 - op.params["b"][0]) / op.params["b"][1]
+    assert np.isclose(got[0], exp_a) and np.isclose(got[1], exp_b)
+    assert np.isnan(got[2])  # OOV group
+    # state round-trip
+    op2 = GroupedStandardScore("g")
+    op2.set_state(op.get_state())
+    assert op2.params == op.params
+
+
+def test_grouped_standard_score_fit_update(spark):
+    """Incremental per-group moment merge == full fit per group."""
+    import numpy as np
+
+    from torchestra_spark.operators.scalers import GroupedStandardScore
+    from torchestra_spark.plans.pipeline import Feature, Pipeline
+
+    rng = np.random.RandomState(2)
+    d1 = pd.DataFrame({"g": rng.choice(["a", "b"], 200), "x": rng.randn(200)})
+    d2 = pd.DataFrame({"g": rng.choice(["b", "c"], 300), "x": rng.randn(300) + 1})
+    op = GroupedStandardScore("g")
+    Pipeline({"z": Feature("x", [op])}).fit(spark.createDataFrame(d1)).fit_update(
+        spark.createDataFrame(d2)
+    )
+    ref = GroupedStandardScore("g")
+    Pipeline({"z": Feature("x", [ref])}).fit(
+        spark.createDataFrame(pd.concat([d1, d2], ignore_index=True))
+    )
+    for g in "abc":
+        assert np.isclose(op.params[g][0], ref.params[g][0], rtol=1e-12)
+        assert np.isclose(op.params[g][1], ref.params[g][1], rtol=1e-12)

@@ -39,6 +39,7 @@ class FitKind(enum.Enum):
     SCALAR_AGG = "scalar_agg"
     VOCAB = "vocab"
     SKETCH = "sketch"
+    GROUPED = "grouped"  # per-group scalar stats (groupBy(group).agg)
 
 
 def type_kind(dt: Any) -> str:

@@ -397,3 +397,77 @@ class RobustScale(_SketchOp):
         if self.exact:
             self.fit_kind = FitKind.SCALAR_AGG
         self._fitted = True
+
+
+class GroupedStandardScore(FittedTransform):
+    """Per-GROUP (x - mean_g) / std_g — a beyond-reference hybrid of
+    StandardScore and the broadcast-vocabulary pattern: fit learns one
+    (mean, std) pair per key of ``group_col`` (one groupBy aggregate,
+    driver dict bounded like a vocabulary), transform applies the pair
+    via an Arrow-batched two-column map.  The fit/transform split means
+    per-segment normalization parameters can be TRAINED on one table
+    and SERVED on another (or on a stream) — a plain window expression
+    cannot do that.
+
+    OOV groups at transform time get NaN (no fitted parameters).
+    """
+
+    fit_kind = FitKind.GROUPED
+    input_kinds = ("numeric", "boolean")
+    output_kind = "numeric"
+
+    def __init__(self, group_col: str, ddof: int = 1):
+        super().__init__()
+        self.group_col = group_col
+        self.ddof = int(ddof)
+        self.params: Dict[str, tuple] = {}
+
+    def fit_aggs(self, col: Column) -> Dict[str, Column]:
+        c = col.cast("double")
+        return {"n": F.count(c), "mean": F.avg(c), "var_pop": F.var_pop(c)}
+
+    def fit_finalize(self, stats: Dict[str, Dict[str, Any]]) -> None:
+        """stats: {group_key(str): {n, mean, var_pop}}."""
+        self.params = {}
+        for g, st in stats.items():
+            n = int(st["n"]) if st["n"] is not None else 0
+            mean = float(st["mean"]) if st["mean"] is not None else float("nan")
+            var_pop = float(st["var_pop"]) if st["var_pop"] is not None else 0.0
+            std = (
+                math.sqrt(var_pop * n / (n - self.ddof)) if n > self.ddof else float("nan")
+            )
+            self.params[g] = (mean, std)
+        self._fitted = True
+
+    def merge_stats(
+        self, old: Dict[str, Dict[str, Any]], new: Dict[str, Dict[str, Any]]
+    ) -> Dict[str, Dict[str, Any]]:
+        out = dict(old)
+        for g, st in new.items():
+            out[g] = _merge_moment_stats(out.get(g, {}), st, with_var=True) if g in out else st
+        return out
+
+    def expr(self, col: Column) -> Column:
+        self._require_fitted()
+        params = self.params
+
+        @F.pandas_udf("double")
+        def _apply(g: pd.Series, x: pd.Series) -> pd.Series:
+            mean = g.astype(str).map({k: v[0] for k, v in params.items()})
+            std = g.astype(str).map({k: v[1] for k, v in params.items()})
+            return (x.astype("float64") - mean) / std
+
+        return _apply(F.col(self.group_col), col.cast("double"))
+
+    def get_state(self) -> Dict[str, Any]:
+        return {
+            "group_col": self.group_col,
+            "ddof": self.ddof,
+            "params": {k: list(v) for k, v in self.params.items()},
+        }
+
+    def set_state(self, state: Dict[str, Any]) -> None:
+        self.group_col = state["group_col"]
+        self.ddof = int(state["ddof"])
+        self.params = {k: tuple(v) for k, v in state["params"].items()}
+        self._fitted = True

@@ -253,6 +253,7 @@ class Pipeline:
         scalar: List[Tuple[str, FittedTransform, Column]] = []
         vocab: List[Tuple[str, FittedTransform, Column]] = []
         sketch: List[Tuple[str, FittedTransform, Column]] = []
+        grouped: List[Tuple[str, FittedTransform, Column]] = []
         for path in wave:
             op = self._op(path)
             assert isinstance(op, FittedTransform)
@@ -263,6 +264,8 @@ class Pipeline:
                 vocab.append((path, op, col))
             elif op.fit_kind is FitKind.SKETCH:
                 sketch.append((path, op, col))
+            elif op.fit_kind is FitKind.GROUPED:
+                grouped.append((path, op, col))
             else:  # pragma: no cover
                 raise ValueError(op.fit_kind)
 
@@ -272,6 +275,8 @@ class Pipeline:
             self._fit_vocab(df, vocab, update)
         if sketch:
             self._fit_sketch(df, sketch, update)
+        if grouped:
+            self._fit_grouped(df, grouped, update)
 
     @staticmethod
     def _fit_scalar(df: DataFrame, ops: List[Tuple[str, FittedTransform, Column]], update: bool = False) -> None:
@@ -350,6 +355,39 @@ class Pipeline:
             by_op[r["op"]][r["key"]] = r["cnt"]
         for j, (_path, op, _col) in enumerate(ops):
             Pipeline._finalize(op, by_op[j], update)
+
+
+    @staticmethod
+    def _fit_grouped(
+        df: DataFrame, ops: List[Tuple[str, FittedTransform, Column]], update: bool = False
+    ) -> None:
+        """Per-group scalar fits: ONE groupBy(group_col).agg per distinct
+        group column (all ops sharing a group column share the scan and
+        the shuffle); collected dicts are bounded by the same cap as
+        vocabularies (a group column IS a vocabulary)."""
+        by_group: Dict[str, List[Tuple[str, FittedTransform, Column]]] = {}
+        for path, op, col in ops:
+            by_group.setdefault(op.group_col, []).append((path, op, col))
+        for gcol, group_ops in by_group.items():
+            aggs: List[Column] = []
+            slots: List[Tuple[FittedTransform, List[str]]] = []
+            for j, (_path, op, col) in enumerate(group_ops):
+                names = []
+                for stat_name, agg in op.fit_aggs(col).items():
+                    aggs.append(agg.alias(f"g{j}__{stat_name}"))
+                    names.append(stat_name)
+                slots.append((op, names))
+            rows = Pipeline._collect_vocab(
+                df.groupBy(F.col(gcol).cast("string").alias("__g")).agg(*aggs),
+                f"grouped fit on {gcol!r}",
+            )
+            for j, (op, names) in enumerate(slots):
+                stats = {
+                    r["__g"]: {n: r[f"g{j}__{n}"] for n in names}
+                    for r in rows
+                    if r["__g"] is not None
+                }
+                Pipeline._finalize(op, stats, update)
 
     # above this many input partitions, per-partition sketch partials are
     # tree-merged executor-side into <= this many runs before the driver

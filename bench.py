@@ -157,6 +157,40 @@ def bench_queries(spark):
         )
         _noop(pipe.fit_transform(li))
 
+    _fitted_lookups = {}
+
+    def _ensure_fitted_lookups():
+        # fit once (untimed after first call); the fused/unfused pair
+        # times the TRANSFORM side only
+        if not _fitted_lookups:
+            from torchestra_spark.operators.lookups import CountLookup, RatioLookup
+
+            ops = {
+                "flag_idx": (IndexLookup(), "l_returnflag"),
+                "flag_ratio": (RatioLookup(), "l_returnflag"),
+                "status_cnt": (CountLookup(), "l_linestatus"),
+                "status_idx": (IndexLookup(), "l_linestatus"),
+            }
+            pipe = Pipeline({k: Feature(c, [op]) for k, (op, c) in ops.items()})
+            pipe.fit(li)
+            _fitted_lookups.update(ops)
+        return _fitted_lookups
+
+    def q_lookups_fused():
+        # 4 lookups in ONE Arrow crossing
+        from torchestra_spark.operators.lookups import fused_lookups
+
+        ops = _ensure_fitted_lookups()
+        _noop(fused_lookups(li, ops))
+
+    def q_lookups_unfused():
+        # the same 4 lookups as 4 separate pandas-UDF stages
+        ops = _ensure_fitted_lookups()
+        out = li
+        for name, (op, c) in ops.items():
+            out = out.withColumn(name, op.expr(F.col(c)))
+        _noop(out)
+
     def q_vocab_fit_transform():
         pipe = Pipeline(
             {
@@ -192,6 +226,8 @@ def bench_queries(spark):
         "scaler_fit_transform": q_scaler_fit_transform,
         "tdigest_fit_transform": q_tdigest_fit_transform,
         "vocab_fit_transform": q_vocab_fit_transform,
+        "lookups_fused": q_lookups_fused,
+        "lookups_unfused": q_lookups_unfused,
         "sequence_ops": q_sequence_ops,
         "minhash_dedup": q_minhash_dedup,
         "sessionize_events": q_sessionize_events,

@@ -200,9 +200,11 @@ def test_combine_features_collision():
         combine_features(a, {"x": Feature("c3")})
 
 
-def test_pipeline_transform_fuses_lookups(spark):
-    """Pipeline.transform fuses all single-op source-rooted lookups into
-    ONE Arrow crossing (plan shows exactly one ArrowEvalPython)."""
+def test_transform_single_arrow_stage(spark):
+    """k independent lookups in one transform share ONE ArrowEvalPython
+    stage — Catalyst's ExtractPythonUDFs batches adjacent pandas UDFs,
+    so no engine-side fusion is needed (and measurement shows an
+    explicit struct-fused UDF is slower)."""
     from torchestra_spark.operators.lookups import CountLookup, IndexLookup, RatioLookup
 
     df = spark.createDataFrame(

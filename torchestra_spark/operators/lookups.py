@@ -166,12 +166,18 @@ def fused_lookups(df: "DataFrame", outputs: Dict[str, tuple]) -> "DataFrame":
     """Apply k fitted lookups in ONE pandas UDF / ONE Arrow crossing.
 
     ``outputs`` maps output column name -> (fitted lookup op, input
-    column name).  All k broadcast dicts ride one TorrentBroadcast; the
-    UDF returns a struct of the k results which is unpacked into plain
-    columns (Catalyst collapses the projection).  With k separate
-    ``op.expr`` columns the frame crosses the JVM<->Arrow boundary k
-    times; fused it crosses once — the difference is ~k× UDF overhead
-    on wide feature sets.
+    column name).  All k broadcast dicts ride one TorrentBroadcast and
+    the UDF returns a struct of the k results, unpacked into plain
+    columns.
+
+    MEASURED CAVEAT: Catalyst's ExtractPythonUDFs already batches k
+    independent ``op.expr`` pandas UDFs at the same projection into ONE
+    ArrowEvalPython stage (one Arrow crossing), and that coalesced plan
+    is ~25% FASTER than this struct-building UDF (bench lookups_fused
+    vs lookups_unfused).  Use this only when lookups end up in
+    DIFFERENT projection levels (e.g. a lookup consuming another UDF's
+    output forces a stage split) or when consolidating k broadcasts
+    matters more than CPU.
     """
     spark = SparkSession.getActiveSession()
     names = list(outputs.keys())

@@ -508,35 +508,19 @@ class Pipeline:
 
     # ------------------------------------------------------------ transform
     def transform(self, df: DataFrame, keep_input: bool = True) -> DataFrame:
+        """Dependency-ordered withColumns; Catalyst collapses the
+        projections into one select, and its ExtractPythonUDFs rule
+        batches all independent pandas UDFs at that level into ONE
+        ArrowEvalPython stage — k lookups already share a single Arrow
+        crossing with no engine-side fusion (measured: an explicit
+        struct-fused UDF is ~25% SLOWER than letting Catalyst coalesce;
+        see bench lookups_fused vs lookups_unfused and
+        tests/test_pipeline_plan.py::test_transform_single_arrow_stage).
+        ``fused_lookups`` remains available for plans where lookups land
+        in different projection levels."""
         self.validate_schema(df.schema)
         order = self._feature_order()
-        # Lookup fusion: every single-op lookup feature rooted at a
-        # source column rides ONE struct-returning pandas UDF (one Arrow
-        # crossing for k lookups instead of k) — the reference's
-        # operator-stacking rationale (_normalization.py:71-88) applied
-        # to the transform side.  Fused outputs only depend on source
-        # columns, so adding them first preserves dependency order.
-        fused: Dict[str, tuple] = {}
         for name in order:
-            feat = self.features[name]
-            if (
-                len(feat.ops) == 1
-                and feat.input_ref not in self.features
-                and hasattr(feat.ops[0], "mapping_spec")
-                and feat.ops[0].is_fitted
-            ):
-                fused[name] = (feat.ops[0], feat.input_ref)
-        if len(fused) >= 2:
-            from torchestra_spark.operators.lookups import fused_lookups
-
-            df = fused_lookups(df, fused)
-        else:
-            fused = {}
-        # remaining features: dependency-ordered withColumns; Catalyst
-        # collapses the projections into one select
-        for name in order:
-            if name in fused:
-                continue
             feat = self.features[name]
             ref = feat.input_ref
             col = F.col(ref)  # prior feature output or source column

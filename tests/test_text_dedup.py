@@ -414,3 +414,16 @@ def test_minhash_simhash_empty_doc_segments(spark):
         ).collect()
     }
     assert sigs1 == sigs
+
+
+def test_probe_masks_wide_tables():
+    """Small probe counts never enumerate (works at n_planes=48);
+    infeasible enumeration requests raise instead of exploding."""
+    margins = np.abs(np.random.RandomState(0).randn(48))
+    masks = S._probe_masks(margins, 4).tolist()
+    assert masks[0] == 0 and len(masks) == 4 and len(set(masks)) == 4
+    # each non-home mask is a single bit flip of the cheapest planes
+    order = np.argsort(margins)[:3]
+    assert set(masks[1:]) == {1 << int(i) for i in order}
+    with pytest.raises(ValueError, match="infeasible"):
+        S._probe_masks(margins, 100)

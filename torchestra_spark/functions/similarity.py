@@ -100,12 +100,27 @@ def _bucket_of(query: np.ndarray, P: np.ndarray, weights: np.ndarray) -> int:
 def _probe_masks(margins: np.ndarray, n_probes: int) -> np.ndarray:
     """Multi-probe perturbation masks ordered by flip cost (sum of the
     flipped planes' |margins|): mask 0 (the home bucket) first, then
-    single near-plane flips, then multi-bit combinations.  Enumerates
-    all 2**n_planes masks driver-side — n_planes is small (<=20) by
-    construction since buckets number 2**n_planes."""
+    single near-plane flips, then multi-bit combinations.
+
+    Full 2**n_planes enumeration only happens when more probes than
+    1 + n_planes are requested AND the table is enumerable (<= 2**20
+    buckets); small probe counts take the cheap single-flip path, so
+    wide hash tables (n_planes up to 63) never explode driver memory."""
     n_planes = len(margins)
+    n_probes = int(n_probes)
+    if n_probes <= 1 + n_planes:
+        # home bucket + cheapest single flips — no enumeration
+        order = np.argsort(margins, kind="stable")[: max(0, n_probes - 1)]
+        return np.concatenate([[0], (np.int64(1) << order.astype(np.int64))]).astype(np.int64)[
+            :n_probes
+        ]
+    if n_planes > 20:
+        raise ValueError(
+            f"n_probes={n_probes} needs multi-bit enumeration, infeasible at "
+            f"n_planes={n_planes} (2^{n_planes} buckets); lower n_probes or n_planes"
+        )
     n_masks = 1 << n_planes
-    n_probes = min(int(n_probes), n_masks)
+    n_probes = min(n_probes, n_masks)
     masks = np.arange(n_masks, dtype=np.int64)
     bits = (masks[:, None] >> np.arange(n_planes)[None, :]) & 1
     cost = bits @ margins

@@ -63,6 +63,9 @@ def asof_join(
     Leakage-free by construction: joined values only ever come from
     right rows at or before the probe timestamp.
 
+    Precondition: probe timestamps must be non-null (a NULL event time
+    has no point-in-time meaning); filter them upstream.
+
     Skew (``salt_buckets > 1``, union strategy): salting is applied only
     to **hot entities** — those with ``>= salt_threshold`` probe rows
     (default ``DEFAULT_SALT_THRESHOLD``).  Cold entities keep the plain

@@ -639,6 +639,20 @@ def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(doc, "text", "doc_id", max_hamming=8, prefix_bits=8)
 
 
+def _q_simhash_tokens_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the rotation-blocking + hamming-join path over token-id sketches:
+    # splitmix64 end-to-end, so the WHOLE near-dup pipeline (blocking
+    # recall included) is bit-exactly SQL-oracled
+    from torchestra_spark.functions.dedup import simhash_tokens_near_dups
+    from torchestra_spark.io.sources import tokenized_sequences
+
+    toks = tokenized_sequences(spark, 2000, seed=42, partitions=8)
+    out = simhash_tokens_near_dups(
+        toks, "tokens", "doc_id", max_hamming=8, prefix_bits=16, tables=4
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from torchestra_spark.functions.similarity import brute_force_topk
 
@@ -846,10 +860,11 @@ def _tokenized_oracle_sql(n_rows: int = 2000, seed: int = 42) -> str:
     return _tokenized_oracle_tail(_tokenized_cte_parts(n_rows, seed))
 
 
-def _simhash_tokens_oracle_sql(n_rows: int = 2000, seed: int = 42) -> str:
-    """Token-id SimHash reproduced in SQL: token hash via the splitmix64
-    CTE chain, per-(doc, bit) ±1 vote sums, bit packing with the uint64
-    -> int64 wrap Spark applies."""
+def _simhash_tokens_sig_parts(n_rows: int = 2000, seed: int = 42) -> list:
+    """CTE chain up to per-doc uint64 simhash sketches: token hash via
+    the splitmix64 CTE chain, per-(doc, bit) ±1 vote sums, bit packing.
+    Ends with ``sigu (id, su UBIGINT)`` covering EVERY doc (empty docs
+    sketch to 0, like the Spark kernel)."""
     parts = _tokenized_cte_parts(n_rows, seed)  # ends with the toks CTE
     prev = "toks"
     for c, e in _sm_cols("CAST(tok AS UBIGINT)", "H"):
@@ -870,16 +885,74 @@ def _simhash_tokens_oracle_sql(n_rows: int = 2000, seed: int = 42) -> str:
                       ELSE CAST(0 AS HUGEINT) END) AS s
       FROM bits GROUP BY id)"""
     )
+    parts.append(
+        """sigu AS (
+      SELECT d.id, CAST(COALESCE(g.s, 0) AS UBIGINT) AS su
+      FROM docs d LEFT JOIN sig g ON d.id = g.id)"""
+    )
+    return parts
+
+
+def _simhash_tokens_oracle_sql(n_rows: int = 2000, seed: int = 42) -> str:
+    """Token-id SimHash reproduced in SQL, with the uint64 -> int64 wrap
+    Spark applies."""
+    parts = _simhash_tokens_sig_parts(n_rows, seed)
     return (
         parts[0]
         + ", "
         + ", ".join(parts[1:])
         + """
-    SELECT 'doc' || lpad(CAST(d.id AS VARCHAR), 10, '0') AS doc_id,
-           CAST(CASE WHEN COALESCE(g.s, 0) >= 9223372036854775808
-                     THEN COALESCE(g.s, 0) - 18446744073709551616
-                     ELSE COALESCE(g.s, 0) END AS BIGINT) AS simhash
-    FROM docs d LEFT JOIN sig g ON d.id = g.id
+    SELECT 'doc' || lpad(CAST(id AS VARCHAR), 10, '0') AS doc_id,
+           CAST(CASE WHEN su >= 9223372036854775808
+                     THEN CAST(su AS HUGEINT) - 18446744073709551616
+                     ELSE CAST(su AS HUGEINT) END AS BIGINT) AS simhash
+    FROM sigu
+    """
+    )
+
+
+def _simhash_tokens_near_dups_oracle_sql(
+    n_rows: int = 2000,
+    seed: int = 42,
+    max_hamming: int = 8,
+    prefix_bits: int = 16,
+    tables: int = 4,
+) -> str:
+    """The FULL blocked near-dup path in SQL: per-table left-rotation of
+    the uint64 sketch (HUGEINT multiply — DuckDB << errors on overflow
+    instead of wrapping), prefix bucketing, bucket self-join, distinct
+    pairs, exact hamming via bit_count(xor) — bit-for-bit the Spark
+    ``simhash_hamming_pairs`` semantics including blocking recall."""
+    parts = _simhash_tokens_sig_parts(n_rows, seed)
+    step = 64 // max(1, tables)
+    arms = []
+    for t in range(tables):
+        r = t * step
+        if r == 0:
+            rot = "su"
+        else:
+            rot = (
+                f"CAST((CAST(su AS HUGEINT) % {1 << (64 - r)}) * {1 << r}"
+                f" + (su >> {64 - r}) AS UBIGINT)"
+            )
+        arms.append(f"SELECT id, {t} AS tbl, ({rot}) >> {64 - prefix_bits} AS bucket FROM sigu")
+    parts.append("banded AS (" + " UNION ALL ".join(arms) + ")")
+    parts.append(
+        """prs AS (
+      SELECT DISTINCT l.id AS ia, r.id AS ib
+      FROM banded l JOIN banded r
+        ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.id < r.id)"""
+    )
+    return (
+        parts[0]
+        + ", "
+        + ", ".join(parts[1:])
+        + f"""
+    SELECT 'doc' || lpad(CAST(p.ia AS VARCHAR), 10, '0') AS id_a,
+           'doc' || lpad(CAST(p.ib AS VARCHAR), 10, '0') AS id_b,
+           CAST(bit_count(xor(a.su, b.su)) AS INT) AS hamming
+    FROM prs p JOIN sigu a ON p.ia = a.id JOIN sigu b ON p.ib = b.id
+    WHERE bit_count(xor(a.su, b.su)) <= {max_hamming}
     """
     )
 
@@ -933,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": _q_minhash_dedup,
         "simhash_tokens": _q_simhash_tokens,
         "simhash_near_dups": _q_simhash_near_dups,
+        "simhash_tokens_near_dups": _q_simhash_tokens_near_dups,
         "cosine_topk": _q_cosine_topk,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -1232,6 +1306,9 @@ def oracle_sql() -> dict[str, str]:
         # 32-bit-split HUGEINT multiplies) — see _tokenized_oracle_sql
         "tokenized_pipeline": _tokenized_oracle_sql(2000, 42),
         "simhash_tokens": _simhash_tokens_oracle_sql(2000, 42),
+        "simhash_tokens_near_dups": _simhash_tokens_near_dups_oracle_sql(
+            2000, 42, max_hamming=8, prefix_bits=16, tables=4
+        ),
         "seq_len": """
             SELECT vec_id, len(embedding) AS seq_len FROM embeddings
         """,

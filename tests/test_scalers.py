@@ -264,3 +264,55 @@ def test_grouped_standard_score_fit_update(spark):
     for g in "abc":
         assert np.isclose(op.params[g][0], ref.params[g][0], rtol=1e-12)
         assert np.isclose(op.params[g][1], ref.params[g][1], rtol=1e-12)
+
+
+def test_grouped_standard_score_bool_and_float_keys(spark):
+    """Fit keys groups via Spark cast('string'); serving must
+    canonicalize identically — boolean groups ('true' vs pandas 'True')
+    and exponent-formatted floats previously NaN'd every row."""
+    import numpy as np
+
+    from torchestra_spark.operators.scalers import GroupedStandardScore
+    from torchestra_spark.plans.pipeline import Feature, Pipeline
+
+    rng = np.random.RandomState(3)
+    pdf = pd.DataFrame(
+        {
+            "gb": rng.choice([True, False], 200),
+            "gf": rng.choice([1e16, 2.5], 200),
+            "x": rng.randn(200),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    ob, of = GroupedStandardScore("gb"), GroupedStandardScore("gf")
+    pipe = Pipeline({"zb": Feature("x", [ob]), "zf": Feature("x", [of])})
+    got = pipe.fit(sdf).transform(sdf).select("gb", "gf", "x", "zb", "zf").toPandas()
+    assert not got["zb"].isna().any() and not got["zf"].isna().any()
+    for key, col, op in [("gb", "zb", ob), ("gf", "zf", of)]:
+        for g, sub in got.groupby(key):
+            v = pdf.loc[pdf[key] == g, "x"]
+            exp = (sub["x"] - v.mean()) / v.std(ddof=1)
+            assert np.allclose(sub[col].to_numpy(), exp.to_numpy())
+
+
+def test_grouped_standard_score_broadcast_many_groups(spark):
+    """Above the broadcast threshold the param maps ride a
+    TorrentBroadcast, not the task closure; values still correct."""
+    import numpy as np
+
+    from torchestra_spark.operators.scalers import GroupedStandardScore
+    from torchestra_spark.plans.pipeline import Feature, Pipeline
+
+    n_groups = 2000  # > _BROADCAST_MIN
+    rng = np.random.RandomState(4)
+    pdf = pd.DataFrame(
+        {"g": [f"g{i % n_groups}" for i in range(3 * n_groups)], "x": rng.randn(3 * n_groups)}
+    )
+    sdf = spark.createDataFrame(pdf)
+    op = GroupedStandardScore("g")
+    pipe = Pipeline({"z": Feature("x", [op])})
+    got = pipe.fit(sdf).transform(sdf).select("g", "x", "z").toPandas()
+    assert len(op.params) == n_groups
+    sub = got[got["g"] == "g7"]
+    v = pdf.loc[pdf["g"] == "g7", "x"]
+    assert np.allclose(sub["z"].to_numpy(), ((sub["x"] - v.mean()) / v.std(ddof=1)).to_numpy())

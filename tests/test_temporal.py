@@ -341,3 +341,15 @@ def test_rolling_stats_vs_numpy(spark, events, events_pd):
     assert np.allclose(
         got[f"value_roll_mean_{int(win)}s"].to_numpy(), exp["m"].to_numpy(), equal_nan=True
     )
+
+
+def test_asof_broadcast_empty_feature_table(spark, events, events_pd):
+    """Empty broadcast side: every probe row unmatched (all-NULL fval),
+    no IndexError from gathering into zero-length arrays."""
+    empty = spark.createDataFrame(
+        [], schema="user_id bigint, feature_ts timestamp, fval double"
+    )
+    out = asof_join(events, empty, on="user_id", left_ts="ts", right_ts="feature_ts",
+                    value_cols=["fval"], strategy="broadcast").toPandas()
+    assert len(out) == len(events_pd)
+    assert out["fval"].isna().all()

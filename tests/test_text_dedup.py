@@ -417,13 +417,124 @@ def test_minhash_simhash_empty_doc_segments(spark):
 
 
 def test_probe_masks_wide_tables():
-    """Small probe counts never enumerate (works at n_planes=48);
-    infeasible enumeration requests raise instead of exploding."""
+    """Small probe counts only enumerate the powerset of the n_probes-1
+    cheapest planes (works at n_planes=48); infeasible requests raise
+    instead of exploding."""
     margins = np.abs(np.random.RandomState(0).randn(48))
     masks = S._probe_masks(margins, 4).tolist()
     assert masks[0] == 0 and len(masks) == 4 and len(set(masks)) == 4
-    # each non-home mask is a single bit flip of the cheapest planes
+    # here the 3 cheapest single flips happen to be the exact top-3
     order = np.argsort(margins)[:3]
     assert set(masks[1:]) == {1 << int(i) for i in order}
+    # exact cost ranking: a 2-bit flip of two near planes outranks a
+    # distant single flip, even at wide n_planes (no full enumeration)
+    m2 = np.full(48, 10.0)
+    m2[5], m2[17] = 0.01, 0.02
+    masks2 = S._probe_masks(m2, 4).tolist()
+    assert masks2 == [0, 1 << 5, 1 << 17, (1 << 5) | (1 << 17)]
     with pytest.raises(ValueError, match="infeasible"):
         S._probe_masks(margins, 100)
+
+
+def test_probe_masks_exact_vs_enumeration():
+    """The powerset-of-cheapest-planes path returns EXACTLY the globally
+    cheapest masks (cost-set equality vs brute-force enumeration)."""
+    for seed, n_probes in [(7, 6), (11, 9), (13, 2)]:
+        margins = np.abs(np.random.RandomState(seed).randn(12))
+        full = np.arange(1 << 12)
+        bits = (full[:, None] >> np.arange(12)) & 1
+        cost = bits @ margins
+        want = np.sort(cost)[:n_probes]
+        got_masks = S._probe_masks(margins, n_probes)
+        gbits = (got_masks[:, None] >> np.arange(12)) & 1
+        assert np.allclose(np.sort(gbits @ margins), want)
+
+
+def test_embedding_near_dups_degenerate_cap(spark):
+    """1k near-identical embeddings collapse into one sign-pattern
+    bucket per table — without the cap that's ~500k pairs * tables;
+    with it the mega-bucket is dropped and the job completes with zero
+    candidates, while a normal corpus is unaffected by a generous cap."""
+    n = 1000
+    base = np.ones(8)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(n), "embedding": [base.tolist()] * n})
+    )
+    capped = S.embedding_near_dups(
+        df, "embedding", "vec_id", 0.9, method="lsh", n_planes=4, tables=2,
+        max_bucket_size=100,
+    )
+    assert capped.count() == 0
+    # normal corpus: cap far above bucket sizes -> same result as uncapped
+    rng = np.random.RandomState(5)
+    X = rng.randn(40, 16)
+    X[7] = X[3] + rng.randn(16) * 0.01
+    ndf = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(40), "embedding": [r.tolist() for r in X]})
+    )
+    kw = dict(method="lsh", n_planes=6, tables=8)
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_near_dups(ndf, "embedding", "vec_id", 0.95,
+                                       max_bucket_size=None, **kw).collect()
+    }
+    with_cap = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_near_dups(ndf, "embedding", "vec_id", 0.95,
+                                       max_bucket_size=100, **kw).collect()
+    }
+    assert with_cap == uncapped and (3, 7) in with_cap
+
+
+def test_minhash_dedup_releases_signature_cache(spark, monkeypatch):
+    """Every DataFrame persisted inside the minhash pipelines is
+    unpersisted before return — no executor storage leaked per call."""
+    from pyspark.sql import DataFrame
+
+    persisted, unpersisted = [], []
+    orig_p, orig_u = DataFrame.persist, DataFrame.unpersist
+
+    def track_p(self, *a, **k):
+        persisted.append(id(self))
+        return orig_p(self, *a, **k)
+
+    def track_u(self, *a, **k):
+        unpersisted.append(id(self))
+        return orig_u(self, *a, **k)
+
+    monkeypatch.setattr(DataFrame, "persist", track_p)
+    monkeypatch.setattr(DataFrame, "unpersist", track_u)
+    texts = [f"doc number {i} alpha beta {i * 3}" for i in range(20)]
+    texts[4] = texts[9]
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(20), "text": texts}))
+    out = D.minhash_dedup(df, "text", "doc_id", k=16, bands=8, shingle_n=2, threshold=0.6)
+    assert (4, 9) in {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert set(persisted) <= set(unpersisted)
+    persisted.clear(); unpersisted.clear()
+    out2 = D.minhash_dedup_verified(
+        df, "text", "doc_id", k=16, bands=8, shingle_n=2, threshold=0.6
+    )
+    assert (4, 9) in {(r["id_a"], r["id_b"]) for r in out2.collect()}
+    assert set(persisted) <= set(unpersisted)
+
+
+def test_simhash_tokens_near_dups_planted(spark):
+    """Identical / one-token-off token sequences are found by the
+    blocked hamming join; hamming values match a per-pair numpy check."""
+    rng = np.random.RandomState(6)
+    docs = [rng.randint(0, 50257, size=40).tolist() for _ in range(30)]
+    docs[12] = list(docs[3])           # identical -> hamming 0
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(30), "tokens": docs})
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_tokens_near_dups(
+            df, "tokens", "doc_id", max_hamming=8, prefix_bits=16, tables=4
+        ).collect()
+    }
+    assert got.get((3, 12)) == 0
+    # every reported pair's hamming agrees with the sketches
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash_tokens(df, "tokens", "doc_id").collect()}
+    for (a, b), h in got.items():
+        assert bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1") == h <= 8

@@ -223,6 +223,7 @@ def minhash_dedup(
     shingle_n: int = 3,
     threshold: float = 0.8,
     seed: int = 42,
+    max_bucket_size: Optional[int] = 1000,
 ) -> DataFrame:
     """End-to-end near-dup candidate pairs at est_jaccard >= threshold.
 
@@ -232,8 +233,17 @@ def minhash_dedup(
     scale, checkpoint the signature table to storage instead."""
     sigs = minhash_signatures(df, text_col, id_col, k=k, shingle_n=shingle_n, seed=seed)
     sigs.persist()
-    pairs = lsh_candidate_pairs(sigs, id_col, bands=bands)
-    return pairs.filter(F.col("est_jaccard") >= threshold)
+    try:
+        pairs = lsh_candidate_pairs(sigs, id_col, bands=bands, max_bucket_size=max_bucket_size)
+        # Materialize the (small) pair set eagerly while sigs is cached,
+        # cutting the lineage back to the signature table — so the cache
+        # can be released deterministically instead of pinning executor
+        # storage for the session (the checkpointed pair RDD is freed by
+        # the ContextCleaner when the result DataFrame is dropped).
+        out = pairs.filter(F.col("est_jaccard") >= threshold).localCheckpoint(eager=True)
+    finally:
+        sigs.unpersist()
+    return out
 
 
 def minhash_dedup_verified(
@@ -245,6 +255,7 @@ def minhash_dedup_verified(
     shingle_n: int = 3,
     threshold: float = 0.8,
     seed: int = 42,
+    max_bucket_size: Optional[int] = 1000,
 ) -> DataFrame:
     """Production near-dup pipeline: LSH candidate generation + EXACT
     n-gram-Jaccard verification — output is precisely
@@ -262,7 +273,18 @@ def minhash_dedup_verified(
     stage discards the remainder, never surfacing in the output."""
     sigs = minhash_signatures(df, text_col, id_col, k=k, shingle_n=shingle_n, seed=seed)
     sigs.persist()
-    cands = lsh_candidate_pairs(sigs, id_col, bands=bands).select("id_a", "id_b")
+    try:
+        # Candidate ids are materialized eagerly while sigs is cached —
+        # the exact-Jaccard verify below never touches the signature
+        # table, so its cache is released here, not leaked for the
+        # session (see minhash_dedup).
+        cands = (
+            lsh_candidate_pairs(sigs, id_col, bands=bands, max_bucket_size=max_bucket_size)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        sigs.unpersist()
     verified = verify_pairs_jaccard(df, cands, text_col, id_col, n=shingle_n)
     return verified.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
@@ -341,20 +363,20 @@ def simhash_tokens(df: DataFrame, tokens_col: str, id_col: str) -> DataFrame:
     return sel.mapInPandas(sketch, out_schema).withColumnRenamed("__id", id_col)
 
 
-def simhash_near_dups(
-    df: DataFrame,
-    text_col: str,
+def simhash_hamming_pairs(
+    sh: DataFrame,
     id_col: str,
     max_hamming: int = 3,
     prefix_bits: int = 16,
     tables: int = 4,
+    sim_col: str = "simhash",
 ) -> DataFrame:
-    """Near-dup pairs by hamming distance.  Quadratic self-join avoided
-    by multi-table prefix blocking: each of ``tables`` hash tables
-    buckets on the leading ``prefix_bits`` of a rotated simhash, so a
-    pair only needs ONE rotation whose prefix window is clean of
-    differing bits (recall grows with tables; pairs are deduped)."""
-    sh = simhash64(df, text_col, id_col)
+    """Near-dup pairs (id_a < id_b, hamming <= max_hamming) over a
+    (id, simhash) sketch table.  Quadratic self-join avoided by
+    multi-table prefix blocking: each of ``tables`` hash tables buckets
+    on the leading ``prefix_bits`` of a rotated simhash, so a pair only
+    needs ONE rotation whose prefix window is clean of differing bits
+    (recall grows with tables; pairs are deduped)."""
     step = 64 // max(1, tables)
 
     def _rot(col: Column, r: int) -> Column:
@@ -364,13 +386,13 @@ def simhash_near_dups(
 
     banded = sh.select(
         F.col(id_col).alias("__id"),
-        F.col("simhash"),
+        F.col(sim_col).alias("__sh"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(t).alias("table"),
-                        F.shiftrightunsigned(_rot(F.col("simhash"), t * step), 64 - prefix_bits).alias(
+                        F.shiftrightunsigned(_rot(F.col(sim_col), t * step), 64 - prefix_bits).alias(
                             "bucket"
                         ),
                     )
@@ -378,10 +400,10 @@ def simhash_near_dups(
                 ]
             )
         ).alias("tb"),
-    ).select("__id", "simhash", "tb.table", "tb.bucket")
+    ).select("__id", "__sh", "tb.table", "tb.bucket")
     l = banded.alias("l")
     r = banded.alias("r")
-    hamming = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    hamming = F.bit_count(F.col("l.__sh").bitwiseXOR(F.col("r.__sh")))
     return (
         l.join(
             r,
@@ -396,6 +418,41 @@ def simhash_near_dups(
         )
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+    tables: int = 4,
+) -> DataFrame:
+    """Text near-dup pairs by simhash hamming distance with multi-table
+    rotation blocking (see ``simhash_hamming_pairs``)."""
+    sh = simhash64(df, text_col, id_col)
+    return simhash_hamming_pairs(
+        sh, id_col, max_hamming=max_hamming, prefix_bits=prefix_bits, tables=tables
+    )
+
+
+def simhash_tokens_near_dups(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+    tables: int = 4,
+) -> DataFrame:
+    """Near-dup pairs over INTEGER token-id sequences: splitmix64 token
+    hashing makes the sketch AND the whole blocking+hamming path
+    integer-exact and SQL-reproducible (driver oracle
+    `simhash_tokens_near_dups`), unlike the text path whose
+    xxhash64-over-strings has no SQL equivalent."""
+    sh = simhash_tokens(df, tokens_col, id_col)
+    return simhash_hamming_pairs(
+        sh, id_col, max_hamming=max_hamming, prefix_bits=prefix_bits, tables=tables
     )
 
 

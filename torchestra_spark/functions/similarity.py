@@ -98,33 +98,34 @@ def _bucket_of(query: np.ndarray, P: np.ndarray, weights: np.ndarray) -> int:
 
 
 def _probe_masks(margins: np.ndarray, n_probes: int) -> np.ndarray:
-    """Multi-probe perturbation masks ordered by flip cost (sum of the
-    flipped planes' |margins|): mask 0 (the home bucket) first, then
-    single near-plane flips, then multi-bit combinations.
+    """Multi-probe perturbation masks ordered EXACTLY by flip cost (sum
+    of the flipped planes' |margins|): mask 0 (the home bucket) first.
 
-    Full 2**n_planes enumeration only happens when more probes than
-    1 + n_planes are requested AND the table is enumerable (<= 2**20
-    buckets); small probe counts take the cheap single-flip path, so
-    wide hash tables (n_planes up to 63) never explode driver memory."""
+    Exactness without full 2**n_planes enumeration: the home bucket and
+    the m cheapest single flips give m+1 masks with cost <= the m-th
+    cheapest margin, while ANY mask touching a plane outside the m
+    cheapest costs at least that margin — so the globally cheapest
+    ``n_probes = m+1`` masks all live inside the powerset of the m
+    cheapest planes.  Enumerating that 2**(n_probes-1) powerset is exact
+    and stays tiny for real probe counts (n_probes <= 21), so wide hash
+    tables (n_planes up to 63) never explode driver memory; a two-bit
+    flip of two near planes correctly outranks a distant single flip."""
+    margins = np.asarray(margins, dtype=np.float64)
     n_planes = len(margins)
     n_probes = int(n_probes)
-    if n_probes <= 1 + n_planes:
-        # home bucket + cheapest single flips — no enumeration
-        order = np.argsort(margins, kind="stable")[: max(0, n_probes - 1)]
-        return np.concatenate([[0], (np.int64(1) << order.astype(np.int64))]).astype(np.int64)[
-            :n_probes
-        ]
-    if n_planes > 20:
+    m = min(max(n_probes - 1, 0), n_planes)
+    if m > 20:
         raise ValueError(
-            f"n_probes={n_probes} needs multi-bit enumeration, infeasible at "
-            f"n_planes={n_planes} (2^{n_planes} buckets); lower n_probes or n_planes"
+            f"n_probes={n_probes} needs enumeration over {m} planes "
+            f"(2^{m} masks) — infeasible; lower n_probes or n_planes"
         )
-    n_masks = 1 << n_planes
-    n_probes = min(n_probes, n_masks)
-    masks = np.arange(n_masks, dtype=np.int64)
-    bits = (masks[:, None] >> np.arange(n_planes)[None, :]) & 1
-    cost = bits @ margins
-    return masks[np.argsort(cost, kind="stable")[:n_probes]]
+    order = np.argsort(margins, kind="stable")[:m].astype(np.int64)
+    sub = np.arange(1 << m, dtype=np.int64)
+    bits = (sub[:, None] >> np.arange(m, dtype=np.int64)[None, :]) & 1
+    cost = bits @ margins[order]
+    full = bits @ (np.int64(1) << order)
+    n_take = min(n_probes, 1 << m)
+    return full[np.argsort(cost, kind="stable")[:n_take]].astype(np.int64)
 
 
 def ann_topk(
@@ -232,6 +233,7 @@ def embedding_near_dups(
     n_planes: int = 8,
     tables: int = 4,
     seed: int = 42,
+    max_bucket_size: Optional[int] = 5000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
     threshold) — the vector-space analog of MinHash text dedup.
@@ -240,7 +242,15 @@ def embedding_near_dups(
       hyperplane hash tables (different seeds); a pair is a candidate if
       it shares a bucket in ANY table (recall grows as 1-(1-p^planes)^
       tables where p = 1 - angle/pi), then exact cosine verification.
-      Shuffle cost is O(rows x tables), never all-pairs.
+      The banded self-join moves ONLY (id, table, bucket) — the
+      embedding vectors stay out of the candidate shuffle and are
+      re-attached to the (much smaller) deduped pair set for the exact
+      verify, the same shape as ``lsh_candidate_pairs``.  Degenerate
+      mega-buckets (near-zero or duplicated embeddings collapsing into
+      one sign pattern would otherwise go O(n²) in pairs) are dropped
+      via a broadcast anti-join above ``max_bucket_size`` (``None``
+      disables the cap).  Shuffle cost is O(rows x tables) + the
+      candidate pair set, never all-pairs.
     * ``method='exact'`` — all-pairs self-join baseline for verification
       and small tables; quadratic, use only as the correctness oracle.
     """
@@ -263,9 +273,20 @@ def embedding_near_dups(
     banded = None
     for t in range(tables):
         b = lsh_buckets(base, "__v", dim, n_planes, seed + 1000 * t).select(
-            "__id", "__v", F.lit(t).alias("__tbl"), F.col("bucket")
+            "__id", F.lit(t).alias("__tbl"), F.col("bucket")
         )
         banded = b if banded is None else banded.unionByName(b)
+    if max_bucket_size is not None:
+        # blocklist of oversized (table, bucket) cells: one map-side-
+        # combined count, broadcast anti-join (blocklist holds only
+        # cells ABOVE the cap — tiny by construction for real corpora)
+        big = (
+            banded.groupBy("__tbl", "bucket")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > max_bucket_size)
+            .select("__tbl", "bucket")
+        )
+        banded = banded.join(F.broadcast(big), ["__tbl", "bucket"], "left_anti")
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(
@@ -274,14 +295,20 @@ def embedding_near_dups(
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.__id") < F.col("r.__id")),
         )
-        .select(
-            F.col("l.__id").alias("id_a"),
-            F.col("r.__id").alias("id_b"),
-            cosine(F.col("l.__v"), F.col("r.__v")).alias("cos_sim"),
-        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.filter(F.col("cos_sim") >= threshold)
+    # exact-cosine verify: re-attach vectors to the deduped pair set only
+    scored = (
+        cand.join(base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va")), "id_a")
+        .join(base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("__va"), F.col("__vb")).alias("cos_sim"),
+        )
+    )
+    return scored.filter(F.col("cos_sim") >= threshold)
 
 
 def pairwise_topk_per_row(

@@ -191,6 +191,7 @@ def fused_lookups(df: "DataFrame", outputs: Dict[str, tuple]) -> "DataFrame":
     bc = None
     if spark is not None and sum(len(s.mapping) for s in specs) >= _BROADCAST_MIN:
         bc = spark.sparkContext.broadcast(payload)
+        payload = None  # keep the dicts out of the pickled task closure
 
     fields = ", ".join(f"`{out}` {s.out_type}" for out, s in zip(names, specs))
 
@@ -223,6 +224,7 @@ def _map_udf(vocab: Dict[str, Any], default: Any, out_type: str, int_keys: bool)
     bc = None
     if spark is not None and len(vocab) >= _BROADCAST_MIN:
         bc = spark.sparkContext.broadcast(vocab)
+        vocab = None  # keep the dict out of the pickled task closure
 
     @F.pandas_udf(out_type)
     def _apply(s: pd.Series) -> pd.Series:

@@ -449,15 +449,31 @@ class GroupedStandardScore(FittedTransform):
 
     def expr(self, col: Column) -> Column:
         self._require_fitted()
-        params = self.params
+        # Build the two lookup maps ONCE (not per Arrow batch) and ship
+        # large ones via TorrentBroadcast instead of the task closure —
+        # the same threshold policy as the lookups' _map_udf.
+        mean_map = {k: v[0] for k, v in self.params.items()}
+        std_map = {k: v[1] for k, v in self.params.items()}
+        from pyspark.sql import SparkSession
+
+        from torchestra_spark.operators.lookups import _BROADCAST_MIN
+
+        spark = SparkSession.getActiveSession()
+        bc = None
+        if spark is not None and len(self.params) >= _BROADCAST_MIN:
+            bc = spark.sparkContext.broadcast((mean_map, std_map))
+            mean_map = std_map = None  # keep the payload out of the closure
 
         @F.pandas_udf("double")
         def _apply(g: pd.Series, x: pd.Series) -> pd.Series:
-            mean = g.astype(str).map({k: v[0] for k, v in params.items()})
-            std = g.astype(str).map({k: v[1] for k, v in params.items()})
-            return (x.astype("float64") - mean) / std
+            m, s = bc.value if bc is not None else (mean_map, std_map)
+            return (x.astype("float64") - g.map(m)) / g.map(s)
 
-        return _apply(F.col(self.group_col), col.cast("double"))
+        # Canonicalize the serving key with the SAME Spark cast('string')
+        # the fit side uses (pipeline groupBy cast) — pandas astype(str)
+        # disagrees with Spark on booleans ('True' vs 'true') and
+        # large/exponent floats ('1e+16' vs '1.0E16').
+        return _apply(F.col(self.group_col).cast("string"), col.cast("double"))
 
     def get_state(self) -> Dict[str, Any]:
         return {

@@ -401,6 +401,12 @@ def _asof_broadcast(
         tb = bc.value
         b_codes, b_t, b_vals = tb["codes"], tb["t"], tb["vals"]
         n_rows = len(entity)
+        if len(b_t) == 0:
+            # empty feature table: every probe row is unmatched — the
+            # gather below would index position 0 of zero-length arrays
+            data = {c: pd.Series([None] * n_rows, dtype=object) for c in value_cols}
+            data["__matched_us"] = pd.Series(np.full(n_rows, -1, dtype=np.int64))
+            return pd.DataFrame(data)
         out_idx = np.full(n_rows, -1, dtype=np.int64)  # row in broadcast arrays
         # entity -> code: one vectorized hash-map lookup (C-level)
         codes = tb["index"].reindex(entity.to_numpy()).to_numpy(np.float64)

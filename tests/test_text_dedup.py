@@ -538,3 +538,31 @@ def test_simhash_tokens_near_dups_planted(spark):
     sh = {r["doc_id"]: r["simhash"] for r in D.simhash_tokens(df, "tokens", "doc_id").collect()}
     for (a, b), h in got.items():
         assert bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1") == h <= 8
+
+
+def test_ann_recall_floor(spark):
+    """Recall@10 floor on a planted-cluster corpus (the geometry ANN is
+    FOR — the sandbox's synthetic embeddings are isotropic noise, where
+    recall is intrinsically bounded by the fraction of corpus probed):
+    multi-table LSH and multi-probe IVF both >= 0.9 at production
+    configs.  Fully seeded -> deterministic."""
+    rng = np.random.RandomState(9)
+    centers = rng.randn(50, 32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    X = np.repeat(centers, 10, axis=0) + 0.15 * rng.randn(500, 32)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(500), "embedding": [r.tolist() for r in X]})
+    ).cache()
+    df.count()
+    C = S.train_ivf_centroids(df, "embedding", n_centroids=16, sample=500, seed=42)
+    r = S.recall_at_k(
+        df, "embedding", "vec_id", k=10,
+        search_fns={
+            "lsh": lambda d, q: S.ann_topk(d, "embedding", q, k=10, n_planes=6,
+                                           n_probes=2, tables=8),
+            "ivf": lambda d, q: S.ivf_topk(d, "embedding", q, C, k=10, n_probes=4),
+        },
+        n_queries=10,
+    )
+    assert r["lsh"] >= 0.9 and r["ivf"] >= 0.9
+    df.unpersist()

@@ -137,6 +137,7 @@ def ann_topk(
     n_planes: int = 16,
     n_probes: int = 1,
     seed: int = 42,
+    tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: probe the query's hyperplane bucket plus the
     ``n_probes-1`` most likely neighbor buckets (multi-probe LSH:
@@ -145,14 +146,31 @@ def ann_topk(
     matching buckets — with a bucketed / partitioned layout this prunes
     at the scan.  ``n_probes >= 2**n_planes`` probes every bucket,
     making the result exactly brute-force top-k (the recall-1.0
-    correctness configuration)."""
+    correctness configuration).
+
+    ``tables`` independent hash tables (different plane seeds) are
+    OR-probed — the standard LSH recall lever: a true neighbor is found
+    if ANY table buckets it with the query, recall 1-(1-p^planes)^tables
+    vs p^planes for one table.  Still ONE scan: per-table bucket
+    columns are computed in a single ArrowEvalPython stage and the
+    filter is a disjunction, so cost grows only in the (cheap) hashing,
+    not in passes over the data."""
     q = np.asarray(list(query), dtype=np.float64)
-    P = _planes(len(q), n_planes, seed)
     weights = (1 << np.arange(n_planes, dtype=np.int64))
-    base = _bucket_of(q, P, weights)
-    probes = [base ^ int(m) for m in _probe_masks(np.abs(q @ P), n_probes)]
-    bucketed = lsh_buckets(df, vec_col, len(q), n_planes, seed)
-    cand = bucketed.filter(F.col("bucket").isin(probes))
+    cond = None
+    bucketed = df
+    bcols = []
+    for t in range(int(tables)):
+        s = seed + 1000 * t
+        P = _planes(len(q), n_planes, s)
+        base = _bucket_of(q, P, weights)
+        probes = [base ^ int(m) for m in _probe_masks(np.abs(q @ P), n_probes)]
+        col = f"__b{t}"
+        bcols.append(col)
+        bucketed = lsh_buckets(bucketed, vec_col, len(q), n_planes, s, out_col=col)
+        c = F.col(col).isin(probes)
+        cond = c if cond is None else (cond | c)
+    cand = bucketed.filter(cond).drop(*bcols)
     return brute_force_topk(cand, vec_col, list(q), k=k, id_col=id_col)
 
 
@@ -356,3 +374,42 @@ def pairwise_topk_per_row(
 def _infer_dim(df: DataFrame, vec_col: str) -> int:
     row = df.select(F.size(vec_col).alias("d")).first()
     return int(row["d"])
+
+
+def recall_at_k(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    search_fns: dict,
+    n_queries: int = 20,
+    seed: int = 0,
+) -> dict:
+    """MEASUREMENT HARNESS (not a production operator): average recall@k
+    of ANN search functions against exact cosine ground truth.
+
+    ``search_fns`` maps a label -> callable(df, query_vec: list) ->
+    DataFrame containing ``id_col`` (the ANN top-k).  Queries are
+    ``n_queries`` corpus vectors picked by a seeded permutation.  Ground
+    truth is computed numpy-side from a driver collect — by definition
+    recall needs the full corpus; at 100 TB run this harness on a
+    bounded SAMPLE of the corpus, the recall of the LSH/IVF geometry is
+    size-invariant at fixed bucket occupancy."""
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    X = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    rng = np.random.RandomState(seed)
+    q_rows = rng.choice(len(X), size=min(n_queries, len(X)), replace=False)
+    out = {}
+    for name, fn in search_fns.items():
+        recalls = []
+        for qi in q_rows:
+            q = X[qi]
+            sims = Xn @ (q / max(float(np.linalg.norm(q)), 1e-30))
+            order = np.lexsort((ids, -sims))[:k]
+            truth = set(ids[order].tolist())
+            got = {r[id_col] for r in fn(df, q.tolist()).collect()}
+            recalls.append(len(got & truth) / k)
+        out[name] = float(np.mean(recalls))
+    return out

@@ -70,12 +70,13 @@ def test_sketch_update_within_tolerance(spark, halves):
 
 def test_update_guards(spark, halves):
     s1, s2, _ = halves
-    # stats-behind-stats -> refuse
+    # stats-behind-stats whose upstream params shift with the delta ->
+    # refuse (the downstream history was measured under the old params)
     two_wave = Pipeline(
         {"z": Feature("x", [StandardScore()]), "q": Feature("z", [TDigestDistribution()])}
     )
     two_wave.fit(s1)
-    with pytest.raises(ValueError, match="single-wave"):
+    with pytest.raises(ValueError, match="parameters.*changed|changed.*upstream_rtol"):
         two_wave.fit_update(s2)
     # exact percentiles -> refuse
     pe = Pipeline({"r": Feature("x", [RobustScale(exact=True)])})
@@ -118,3 +119,41 @@ def test_meanscale_unweighted_shard_merge_parity(spark):
     pw = Pipeline({"m": Feature("x", [opw])})
     pw.fit(shards[0]).fit_update(shards[1]).fit_update(shards[2])
     assert np.isclose(opw.mean, (1 + 3 + 80 + 100) / 11)
+
+
+def test_multiwave_update_frozen_upstream_equals_full_fit(spark):
+    """Two-wave refit-safe case: the delta lies inside the historical
+    min/max, so the upstream MinMaxScale params are unchanged by the
+    merge and the downstream StandardScore delta stats merge EXACTLY."""
+    rng = np.random.RandomState(4)
+    d1 = pd.DataFrame({"x": np.r_[0.0, 100.0, rng.uniform(0, 100, 998)]})
+    d2 = pd.DataFrame({"x": rng.uniform(10, 90, 500)})
+    mm, z = MinMaxScale(), StandardScore()
+    pipe = Pipeline({"m": Feature("x", [mm]), "z2": Feature("m", [z])})
+    pipe.fit(spark.createDataFrame(d1)).fit_update(spark.createDataFrame(d2))
+    mmf, zf = MinMaxScale(), StandardScore()
+    ref = Pipeline({"m": Feature("x", [mmf]), "z2": Feature("m", [zf])})
+    ref.fit(spark.createDataFrame(pd.concat([d1, d2], ignore_index=True)))
+    assert mm.vmin == mmf.vmin and mm.vdelta == mmf.vdelta
+    assert np.isclose(z.mean, zf.mean, rtol=1e-12)
+    assert np.isclose(z.std, zf.std, rtol=1e-12)
+
+
+def test_multiwave_update_changed_upstream(spark):
+    """Delta outside the historical range shifts the upstream params:
+    strict mode raises actionably; a generous upstream_rtol accepts the
+    documented approximation and still merges."""
+    rng = np.random.RandomState(5)
+    d1 = pd.DataFrame({"x": np.r_[0.0, 100.0, rng.uniform(0, 100, 998)]})
+    d3 = pd.DataFrame({"x": rng.uniform(50, 120, 500)})  # max grows past 100
+    mm, z = MinMaxScale(), StandardScore()
+    pipe = Pipeline({"m": Feature("x", [mm]), "z2": Feature("m", [z])})
+    pipe.fit(spark.createDataFrame(d1))
+    with pytest.raises(ValueError, match="upstream_rtol"):
+        pipe.fit_update(spark.createDataFrame(d3))
+    # fresh pipeline (the failed update already merged wave 1)
+    mm2, z2 = MinMaxScale(), StandardScore()
+    pipe2 = Pipeline({"m": Feature("x", [mm2]), "z2": Feature("m", [z2])})
+    pipe2.fit(spark.createDataFrame(d1))
+    pipe2.fit_update(spark.createDataFrame(d3), upstream_rtol=1.0)
+    assert mm2.vdelta > 100.0  # upstream did move; accepted as approximate

@@ -85,6 +85,26 @@ def combine_features(*feature_sets: Dict[str, Feature]) -> Dict[str, Feature]:
     return out
 
 
+def _params_close(a: Any, b: Any, rtol: float) -> bool:
+    """Structural comparison of two op get_state() payloads: floats
+    within rtol (nan == nan), containers recursively, everything else
+    exact — decides whether an upstream op's parameters 'changed' for
+    the multi-wave fit_update safety check."""
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return False
+        if np.isnan(fa) or np.isnan(fb):
+            return np.isnan(fa) and np.isnan(fb)
+        return bool(np.isclose(fa, fb, rtol=rtol, atol=0.0))
+    if isinstance(a, dict) and isinstance(b, dict):
+        return a.keys() == b.keys() and all(_params_close(a[k], b[k], rtol) for k in a)
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        return len(a) == len(b) and all(_params_close(x, y, rtol) for x, y in zip(a, b))
+    return a == b
+
+
 class Pipeline:
     def __init__(self, features: Dict[str, Feature]):
         self.features = dict(features)
@@ -209,28 +229,56 @@ class Pipeline:
             self._fit_wave(df, wave)
         return self
 
-    def fit_update(self, df: DataFrame) -> "Pipeline":
+    def fit_update(self, df: DataFrame, upstream_rtol: float = 0.0) -> "Pipeline":
         """Incremental refit: collect this delta's statistics and merge
         them into the previous fit via each op's ``merge_stats`` — the
         reference's combine_stats shard merge applied across fit calls
         (daily feature-store refresh without rescanning history).
 
-        Restricted to single-wave pipelines: a stats-behind-stats chain
-        would need its downstream raw stats recomputed under the NEW
-        upstream parameters, which requires the historical data.
         Exactness: scalar moments and NoThreshold vocabularies merge
         exactly; t-digest merges within sketch tolerance; pruning
         eliminators re-prune the merged dict (per-fit pushdown pruning
         makes cross-delta threshold crossings approximate); exact
-        percentiles raise."""
-        if len(self.waves) > 1:
-            raise ValueError(
-                "fit_update supports single-wave pipelines only "
-                "(stats-behind-stats chains need a full fit)"
-            )
+        percentiles raise.
+
+        Stats-behind-stats chains (multi-wave) are refit-safe ONLY when
+        the upstream ops' parameters come out of the delta merge
+        unchanged (within ``upstream_rtol`` for numeric params): the
+        downstream delta statistics are then computed under the same
+        upstream transform the historical statistics used, so the merge
+        stays exact.  That is the common daily-refresh shape — a frozen
+        vocabulary / saturated quantile sketch upstream, rolling counts
+        or moments downstream.  If an upstream op's parameters DID
+        change, merging downstream would silently mix statistics
+        measured under two different transforms, so this raises an
+        actionable error instead (run a full ``fit`` over history, or
+        pass a larger ``upstream_rtol`` to accept the drift as an
+        approximation — the error bound on downstream moments is then
+        O(rtol) of the upstream param shift)."""
         self.validate_schema(df.schema)
+        changed: Set[str] = set()
         for wave in self.waves:
+            for p in wave:
+                bad = sorted(self.dependencies[p] & changed)
+                if bad:
+                    raise ValueError(
+                        f"fit_update: op {p!r} depends on {bad}, whose parameters "
+                        f"changed in this delta (beyond upstream_rtol="
+                        f"{upstream_rtol}); its historical statistics were "
+                        "measured under the OLD upstream transform and cannot "
+                        "be merged exactly. Run a full fit() over history, or "
+                        "raise upstream_rtol to accept the approximation. "
+                        "NOTE: earlier waves of this pipeline have already "
+                        "been delta-merged."
+                    )
+            is_upstream = [p for p in wave if any(p in self.dependencies[q] for q in self.stats_op_paths)]
+            before = {p: self._op(p).get_state() for p in is_upstream}
             self._fit_wave(df, wave, update=True)
+            changed |= {
+                p
+                for p in is_upstream
+                if not _params_close(before[p], self._op(p).get_state(), upstream_rtol)
+            }
         return self
 
     @staticmethod

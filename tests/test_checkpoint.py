@@ -71,3 +71,67 @@ def test_manifest_contents(spark, events, tmp_path):
     assert m["fingerprint"] == "abc"
     assert m["rows"] > 0 and m["bytes"] > 0 and m["wall_ms"] > 0
     assert m["app_id"].startswith("local-")
+
+
+def test_incremental_materializer_feature_refresh(spark, tmp_path):
+    """The feature-store daily loop: append a delta partition, merge its
+    stats with the refit-safe fit_update, refresh — ONLY the new
+    partition is read+written (old output files untouched), and the
+    materialized table equals a from-scratch transform of the full
+    input because the upstream params were frozen by the delta."""
+    import pandas as pd
+    import numpy as np
+
+    from torchestra_spark import Feature, MinMaxScale, Pipeline
+    from torchestra_spark.checkpoint import IncrementalMaterializer
+
+    inp = str(tmp_path / "in")
+    outp = str(tmp_path / "out")
+    rng = np.random.RandomState(6)
+    d1 = pd.DataFrame({
+        "ds": ["2026-01-01"] * 50 + ["2026-01-02"] * 50,
+        "x": np.r_[0.0, 100.0, rng.uniform(0, 100, 98)],
+    })
+    spark.createDataFrame(d1).write.partitionBy("ds").parquet(inp)
+
+    pipe = Pipeline({"xs": Feature("x", [MinMaxScale()])})
+    pipe.fit(spark.read.parquet(inp))
+
+    def tf(df):
+        return pipe.transform(df).select("ds", "x", "xs")
+
+    mat = IncrementalMaterializer(inp, outp, "ds")
+    assert sorted(mat.refresh(spark, tf)) == ["2026-01-01", "2026-01-02"]
+    assert mat.refresh(spark, tf) == []  # current -> no-op
+
+    def part_files(base, v):
+        d = os.path.join(base, f"ds={v}")
+        return {f: os.stat(os.path.join(d, f)).st_mtime for f in os.listdir(d)
+                if f.endswith(".parquet")}
+
+    old1 = part_files(outp, "2026-01-01")
+    old2 = part_files(outp, "2026-01-02")
+
+    # append a delta day (inside the fitted range -> params frozen)
+    d3 = pd.DataFrame({"ds": ["2026-01-03"] * 40, "x": rng.uniform(5, 95, 40)})
+    spark.createDataFrame(d3).write.mode("append").partitionBy("ds").parquet(inp)
+    pipe.fit_update(spark.read.parquet(inp).filter("ds = '2026-01-03'"))
+    assert mat.refresh(spark, tf) == ["2026-01-03"]
+    # untouched partitions keep their exact files
+    assert part_files(outp, "2026-01-01") == old1
+    assert part_files(outp, "2026-01-02") == old2
+    # materialized view == from-scratch transform over the full input
+    got = mat.load(spark).toPandas().sort_values(["ds", "x"], ignore_index=True)
+    exp = tf(spark.read.parquet(inp)).toPandas().sort_values(["ds", "x"], ignore_index=True)
+    assert np.allclose(got["xs"].to_numpy(), exp["xs"].to_numpy())
+    assert len(got) == 140
+
+    # in-place change of one historical partition -> only it refreshes
+    d2fix = pd.DataFrame({"ds": ["2026-01-02"] * 10, "x": rng.uniform(0, 100, 10)})
+    import shutil
+    shutil.rmtree(os.path.join(inp, "ds=2026-01-02"))
+    spark.createDataFrame(d2fix).write.mode("append").partitionBy("ds").parquet(inp)
+    assert mat.changed_partitions() == ["2026-01-02"]
+    assert mat.refresh(spark, tf) == ["2026-01-02"]
+    assert part_files(outp, "2026-01-01") == old1
+    assert mat.load(spark).count() == 100

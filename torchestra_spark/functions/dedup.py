@@ -59,6 +59,21 @@ def mark_exact_dups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _ensure_parallelism(df: DataFrame, min_parallelism: Optional[int] = None) -> DataFrame:
+    """CPU-heavy Arrow sketch stages inherit the scan's partitioning; a
+    small/single-file table would run the WHOLE sketch on one task (the
+    round-2 bench hid this behind a leaked signature cache).  Round-
+    robin repartition up to the session's default parallelism — a no-op
+    at 100 TB scale, where scans already carry >> cores partitions, and
+    a 1-to-N text shuffle (cheaper than the sketch it unblocks) on
+    small tables."""
+    spark = df.sparkSession
+    target = min_parallelism or spark.sparkContext.defaultParallelism
+    if target and df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ----------------------------------------------------------------- minhash
 def _hashed_shingles(text: Column, n: int) -> Column:
     """64-bit hashes of word n-grams WITHOUT materializing gram strings:
@@ -103,10 +118,10 @@ def minhash_signatures(
     of the batch.
     """
     a, b = _minhash_params(k, seed)
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        _hashed_shingles(F.col(text_col), shingle_n).alias("__h"),
+    sel = _ensure_parallelism(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__txt"))
     )
+    sh = sel.select("__id", _hashed_shingles(F.col("__txt"), shingle_n).alias("__h"))
 
     def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -296,9 +311,12 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     bit-vote reduction is one numpy op per Arrow batch."""
     from torchestra_spark.functions.text import words
 
-    toks = df.select(
-        F.col(id_col).alias("__id"),
-        F.transform(words(F.lower(F.col(text_col))), lambda x: F.xxhash64(x)).alias("__h"),
+    sel = _ensure_parallelism(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__txt"))
+    )
+    toks = sel.select(
+        "__id",
+        F.transform(words(F.lower(F.col("__txt"))), lambda x: F.xxhash64(x)).alias("__h"),
     )
 
     def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -337,7 +355,9 @@ def simhash_tokens(df: DataFrame, tokens_col: str, id_col: str) -> DataFrame:
     as the text simhash."""
     from torchestra_spark.io.sources import _splitmix64
 
-    sel = df.select(F.col(id_col).alias("__id"), F.col(tokens_col).alias("__t"))
+    sel = _ensure_parallelism(
+        df.select(F.col(id_col).alias("__id"), F.col(tokens_col).alias("__t"))
+    )
 
     def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bit_idx = np.arange(64, dtype=np.uint64)

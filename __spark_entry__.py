@@ -648,7 +648,8 @@ def _q_simhash_tokens_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toks = tokenized_sequences(spark, 2000, seed=42, partitions=8)
     out = simhash_tokens_near_dups(
-        toks, "tokens", "doc_id", max_hamming=8, prefix_bits=16, tables=4
+        toks, "tokens", "doc_id", max_hamming=8, prefix_bits=16, tables=4,
+        max_bucket_size=1000,
     )
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
@@ -917,6 +918,7 @@ def _simhash_tokens_near_dups_oracle_sql(
     max_hamming: int = 8,
     prefix_bits: int = 16,
     tables: int = 4,
+    max_bucket_size: int = 1000,
 ) -> str:
     """The FULL blocked near-dup path in SQL: per-table left-rotation of
     the uint64 sketch (HUGEINT multiply — DuckDB << errors on overflow
@@ -938,9 +940,14 @@ def _simhash_tokens_near_dups_oracle_sql(
         arms.append(f"SELECT id, {t} AS tbl, ({rot}) >> {64 - prefix_bits} AS bucket FROM sigu")
     parts.append("banded AS (" + " UNION ALL ".join(arms) + ")")
     parts.append(
+        f"""capped AS (
+      SELECT id, tbl, bucket FROM banded
+      QUALIFY COUNT(*) OVER (PARTITION BY tbl, bucket) <= {max_bucket_size})"""
+    )
+    parts.append(
         """prs AS (
       SELECT DISTINCT l.id AS ia, r.id AS ib
-      FROM banded l JOIN banded r
+      FROM capped l JOIN capped r
         ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.id < r.id)"""
     )
     return (
@@ -1307,7 +1314,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenized_pipeline": _tokenized_oracle_sql(2000, 42),
         "simhash_tokens": _simhash_tokens_oracle_sql(2000, 42),
         "simhash_tokens_near_dups": _simhash_tokens_near_dups_oracle_sql(
-            2000, 42, max_hamming=8, prefix_bits=16, tables=4
+            2000, 42, max_hamming=8, prefix_bits=16, tables=4, max_bucket_size=1000
         ),
         "seq_len": """
             SELECT vec_id, len(embedding) AS seq_len FROM embeddings

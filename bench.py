@@ -214,6 +214,20 @@ def bench_queries(spark):
 
         _noop(minhash_dedup(doc, "text", "doc_id", k=64, bands=16, shingle_n=2, threshold=0.5))
 
+    def q_simhash_dedup_tokens():
+        # web-scale near-dup shape: token-id simhash sketch + rotation-
+        # blocked hamming join over a deterministic 1/4 subset of the
+        # 2M-doc table (mega-buckets capped; ~25M tokens sketched)
+        from torchestra_spark.functions.dedup import simhash_tokens_near_dups
+
+        sub = toks.filter(F.pmod(F.xxhash64("doc_id"), F.lit(4)) == 0)
+        _noop(
+            simhash_tokens_near_dups(
+                sub, "tokens", "doc_id", max_hamming=4, prefix_bits=20,
+                tables=4, max_bucket_size=1000,
+            )
+        )
+
     def q_sessionize_events():
         _noop(sessionize(ev, "user_id", ["ts", "event_id"], gap_sec=3600.0))
 
@@ -230,6 +244,7 @@ def bench_queries(spark):
         "lookups_unfused": q_lookups_unfused,
         "sequence_ops": q_sequence_ops,
         "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup_tokens": q_simhash_dedup_tokens,
         "sessionize_events": q_sessionize_events,
     }
 

@@ -216,7 +216,11 @@ def decode_features(
     if decoder not in ("fake", "real"):
         raise ValueError(decoder)
     id_type = df.schema[id_col].dataType.simpleString()
-    sel = df.select(F.col(id_col).alias("__id"), F.col(payload_col).alias("__p"))
+    from torchestra_spark.functions.dedup import _ensure_parallelism
+
+    sel = _ensure_parallelism(
+        df.select(F.col(id_col).alias("__id"), F.col(payload_col).alias("__p"))
+    )
     kernel = _real_decode if decoder == "real" else _fake_decode
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -254,7 +258,11 @@ def frame_sample_stub(
     fake decoder fabricates ceil(len(payload)/every_n) frames; the real
     path would seek the container."""
     id_type = df.schema[id_col].dataType.simpleString()
-    sel = df.select(F.col(id_col).alias("__id"), F.col(payload_col).alias("__p"))
+    from torchestra_spark.functions.dedup import _ensure_parallelism
+
+    sel = _ensure_parallelism(
+        df.select(F.col(id_col).alias("__id"), F.col(payload_col).alias("__p"))
+    )
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

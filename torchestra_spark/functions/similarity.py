@@ -272,7 +272,11 @@ def embedding_near_dups(
     * ``method='exact'`` — all-pairs self-join baseline for verification
       and small tables; quadratic, use only as the correctness oracle.
     """
-    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    from torchestra_spark.functions.dedup import _ensure_parallelism
+
+    base = _ensure_parallelism(
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    )
     if method == "exact":
         # broadcast-nested-loop parallelism = left-side partitions: a
         # single-file scan would put the whole O(n^2) loop on one task

@@ -62,7 +62,7 @@ from torchestra_spark.operators.lookups import (
 )
 from torchestra_spark.plans.pipeline import Pipeline, Feature, combine_features
 from torchestra_spark.featurestore import FeatureStore
-from torchestra_spark.checkpoint import CheckpointedWriter
+from torchestra_spark.checkpoint import CheckpointedWriter, IncrementalMaterializer
 
 __all__ = [
     "Transform",
@@ -101,6 +101,7 @@ __all__ = [
     "combine_features",
     "FeatureStore",
     "CheckpointedWriter",
+    "IncrementalMaterializer",
 ]
 
 __version__ = "0.1.0"

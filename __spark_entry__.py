@@ -568,6 +568,22 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
 
+def _q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style duplicate-3-gram fraction (boilerplate signal)
+    from torchestra_spark.functions.text import repetition_ratio
+
+    doc = _t(spark, sf_dir, "documents")
+    return doc.select("doc_id", F.round(repetition_ratio(F.col("text"), 3), 6).alias("rep3"))
+
+
+def _q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # composite Gopher-rule keep/drop gate — pure Catalyst predicate
+    from torchestra_spark.functions.text import gopher_filter
+
+    doc = _t(spark, sf_dir, "documents")
+    return doc.select("doc_id", gopher_filter(F.col("text")).alias("keep"))
+
+
 def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # composite heuristic: rows-only (component ratios oracle-checked
     # separately; exact goldens in tests/test_text_dedup.py)
@@ -604,6 +620,28 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", F.round(ngram_jaccard(F.col("ta"), F.col("tb"), 2), 6).alias("jaccard")
     )
+
+
+def _q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # winnowing (SIGMOD'03) document fingerprints: rolling k-gram hash
+    # + per-window min selection, all in WINNOW_MOD modular arithmetic
+    # so the DuckDB oracle replays the sketch bit-for-bit
+    from torchestra_spark.functions.text import winnow_fingerprints
+
+    doc = _t(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id", F.explode(winnow_fingerprints(F.col("text"), k=5, w=4)).alias("fp")
+    )
+
+
+def _q_winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fingerprint-blocked near-dup pairs: any >= w+k-1 = 8-token shared
+    # run is guaranteed to share a fingerprint; pairs sharing >= 2
+    from torchestra_spark.functions.dedup import winnow_near_dups
+
+    doc = _t(spark, sf_dir, "documents")
+    out = winnow_near_dups(doc, "text", "doc_id", k=5, w=4, min_shared=2, max_fp_freq=1000)
+    return out.select("id_a", "id_b", "shared", F.round("overlap", 6).alias("overlap"))
 
 
 def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -964,6 +1002,39 @@ def _simhash_tokens_near_dups_oracle_sql(
     )
 
 
+def _winnow_fps_sql(k: int = 5, w: int = 4) -> str:
+    """DuckDB CTE body replaying torchestra_spark.functions.text.
+    winnow_fingerprints exactly: polynomial token hash (acc*31+ascii
+    mod 1e9+7), seeded k-gram fold, per-w-window min, distinct."""
+    M, P = 1_000_000_007, 1_048_583
+    return f"""
+            toks AS (
+              SELECT doc_id,
+                list_transform(
+                  list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''),
+                  tok -> list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(regexp_split_to_array(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+                    (acc, x) -> (acc*31 + x) % {M})) hs
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                CASE WHEN len(hs) >= {k} THEN
+                  list_transform(range(1, len(hs)-{k}+2), i ->
+                    list_reduce(list_slice(hs, i, i+{k}-1), (a,b) -> (a*{P} + b) % {M}))
+                ELSE CAST([] AS BIGINT[]) END gs
+              FROM toks),
+            fsets AS (
+              SELECT doc_id,
+                CASE WHEN len(gs) = 0 THEN CAST([] AS BIGINT[])
+                     ELSE list_distinct(list_transform(
+                            range(1, greatest(len(gs)-{w}+1, 1)+1), i ->
+                            list_min(list_slice(gs, i, i+{w}-1)))) END fps
+              FROM grams),
+            fps AS (SELECT doc_id, fp FROM fsets, unnest(fps) AS u(fp))
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "standard_score": _q_standard_score,
@@ -1007,9 +1078,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "punct_ratio": _q_punct_ratio,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
+        "repetition_ratio": _q_repetition_ratio,
+        "gopher_filter": _q_gopher_filter,
         "exact_dedup": _q_exact_dedup,
         "mark_exact_dups": _q_mark_exact_dups,
         "ngram_jaccard": _q_ngram_jaccard,
+        "winnow_fingerprint": _q_winnow_fingerprint,
+        "winnow_near_dups": _q_winnow_near_dups,
         "minhash_dedup": _q_minhash_dedup,
         "simhash_tokens": _q_simhash_tokens,
         "simhash_near_dups": _q_simhash_near_dups,
@@ -1312,6 +1387,27 @@ def oracle_sql() -> dict[str, str]:
         # the pipeline are reproduced bit-exactly in SQL (splitmix64 via
         # 32-bit-split HUGEINT multiplies) — see _tokenized_oracle_sql
         "tokenized_pipeline": _tokenized_oracle_sql(2000, 42),
+        # winnowing: the whole sketch is WINNOW_MOD modular arithmetic,
+        # replayed exactly by the CTE (incl. the fp-frequency cap)
+        "winnow_fingerprint": f"""
+            WITH {_winnow_fps_sql(5, 4)}
+            SELECT doc_id, fp FROM fps
+        """,
+        "winnow_near_dups": f"""
+            WITH {_winnow_fps_sql(5, 4)},
+            sizes AS (SELECT doc_id, COUNT(*) n FROM fps GROUP BY doc_id),
+            capped AS (SELECT * FROM fps
+                       QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 1000),
+            pairs AS (
+              SELECT l.doc_id id_a, r.doc_id id_b, COUNT(*) shared
+              FROM capped l JOIN capped r ON l.fp = r.fp AND l.doc_id < r.doc_id
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+            SELECT p.id_a, p.id_b, p.shared,
+                   ROUND(CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared), 6) AS overlap
+            FROM pairs p
+            JOIN sizes sa ON sa.doc_id = p.id_a
+            JOIN sizes sb ON sb.doc_id = p.id_b
+        """,
         "simhash_tokens": _simhash_tokens_oracle_sql(2000, 42),
         "simhash_tokens_near_dups": _simhash_tokens_near_dups_oracle_sql(
             2000, 42, max_hamming=8, prefix_bits=16, tables=4, max_bucket_size=1000
@@ -1476,6 +1572,55 @@ def oracle_sql() -> dict[str, str]:
         """,
         # quality_score composes the four already-oracled component
         # expressions with identical fp evaluation order
+        "repetition_ratio": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS lws
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       CASE WHEN len(lws) >= 3 THEN
+                           list_transform(range(1, len(lws) - 1), i ->
+                               array_to_string(list_slice(lws, i, i + 2), ' '))
+                       ELSE CAST([] AS VARCHAR[]) END AS gs
+                FROM w
+            )
+            SELECT doc_id,
+                   ROUND(CASE WHEN len(gs) > 0
+                              THEN 1.0 - len(list_distinct(gs)) * 1.0 / len(gs)
+                              ELSE 0.0 END, 6) AS rep3
+            FROM g
+        """,
+        "gopher_filter": """
+            WITH w AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws,
+                       list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS lws
+                FROM documents
+            ), c AS (
+                SELECT doc_id,
+                       len(ws) AS n,
+                       CASE WHEN len(ws) > 0
+                            THEN list_sum(list_transform(ws, x -> length(x)))
+                                 * 1.0 / len(ws)
+                            ELSE 0.0 END AS mwl,
+                       len(list_filter(lws, x -> list_contains(
+                           ['the','and','of','to','a','in','is','it','that','for'], x))) AS sw_hits,
+                       CASE WHEN len(lws) >= 3 THEN
+                           list_transform(range(1, len(lws) - 1), i ->
+                               array_to_string(list_slice(lws, i, i + 2), ' '))
+                       ELSE CAST([] AS VARCHAR[]) END AS gs
+                FROM w
+            )
+            SELECT doc_id,
+                   (n >= 16 AND n <= 100000
+                    AND mwl >= 3.0 AND mwl <= 10.0
+                    AND sw_hits >= 2
+                    AND (CASE WHEN len(gs) > 0
+                              THEN 1.0 - len(list_distinct(gs)) * 1.0 / len(gs)
+                              ELSE 0.0 END) < 0.2) AS keep
+            FROM c
+        """,
         "quality_score": """
             WITH w AS (
                 SELECT doc_id, text,

@@ -228,6 +228,21 @@ def bench_queries(spark):
             )
         )
 
+    def q_winnow_dedup_tokens():
+        # winnowing fingerprints (SIGMOD'03) straight off token ids
+        # (no per-char fold), fingerprint-blocked pair join with the
+        # boilerplate-fp cap — same 1/4 subset as the simhash bench
+        from torchestra_spark.functions.dedup import winnow_near_dups
+        from torchestra_spark.functions.text import winnow_fingerprints_tokens
+
+        sub = toks.filter(F.pmod(F.xxhash64("doc_id"), F.lit(4)) == 1)
+        _noop(
+            winnow_near_dups(
+                sub, "tokens", "doc_id", min_shared=2, max_fp_freq=1000,
+                fingerprints=winnow_fingerprints_tokens(F.col("tokens"), k=5, w=4),
+            )
+        )
+
     def q_sessionize_events():
         _noop(sessionize(ev, "user_id", ["ts", "event_id"], gap_sec=3600.0))
 
@@ -245,6 +260,7 @@ def bench_queries(spark):
         "sequence_ops": q_sequence_ops,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup_tokens": q_simhash_dedup_tokens,
+        "winnow_dedup_tokens": q_winnow_dedup_tokens,
         "sessionize_events": q_sessionize_events,
     }
 

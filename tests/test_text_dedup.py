@@ -566,3 +566,99 @@ def test_ann_recall_floor(spark):
     )
     assert r["lsh"] >= 0.9 and r["ivf"] >= 0.9
     df.unpersist()
+
+
+def test_winnow_guarantee_and_pure_python_parity(spark):
+    # winnowing guarantee: two docs sharing a run of >= w+k-1 tokens
+    # share at least one fingerprint; disjoint-vocab docs share none.
+    k, w = 3, 4
+    shared_run = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w+k-1
+    rows = [
+        (1, "one two three " + shared_run + " ten eleven"),
+        (2, shared_run + " apple banana cherry"),
+        (3, "xx yy zz qq rr ss tt uu vv ww"),
+        (4, "ab"),       # < k tokens: no grams, no fingerprints
+        (5, ""),         # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select(
+        "doc_id", T.winnow_fingerprints(F.col("text"), k=k, w=w).alias("fps")
+    ).collect()
+    fps = {r.doc_id: set(r.fps) for r in out}
+    assert fps[1] & fps[2], "docs sharing a w+k-1 run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    assert fps[4] == set() and fps[5] == set()
+
+    # pure-python reimplementation parity (independent of Spark AND of
+    # the DuckDB oracle): same modular arithmetic, same selection rule
+    M, P = T.WINNOW_MOD, T.WINNOW_PRIME
+
+    def py_winnow(text):
+        toks = [t for t in text.lower().split() if t]
+        hs = []
+        for tok in toks:
+            acc = 0
+            for ch in tok:
+                acc = (acc * 31 + ord(ch)) % M
+            hs.append(acc)
+        if len(hs) < k:
+            return set()
+        gs = []
+        for i in range(len(hs) - k + 1):
+            g = hs[i]
+            for h in hs[i + 1 : i + k]:
+                g = (g * P + h) % M
+            gs.append(g)
+        n_win = max(len(gs) - w + 1, 1)
+        return {min(gs[i : i + w]) for i in range(n_win)}
+
+    for doc_id, text in rows:
+        assert fps[doc_id] == py_winnow(text), doc_id
+
+
+def test_winnow_near_dups_planted(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [(i, f"noise{i} filler{i} pad{i} junk{i} blah{i} word{i}") for i in range(20)]
+    rows += [(100, base), (101, base + " extra trailing tokens here"),
+             (102, "prefix tokens first " + base)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.winnow_near_dups(df, "text", "doc_id", k=3, w=4, min_shared=2).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert {(100, 101), (100, 102), (101, 102)} <= pairs
+    assert all(a >= 100 and b >= 100 for a, b in pairs), "noise docs must not pair"
+    for r in out:
+        assert 0.0 < r.overlap <= 1.0 and r.shared >= 2
+
+
+def test_winnow_near_dups_fp_freq_cap(spark):
+    # 30 identical docs -> every fingerprint appears in 30 docs; a cap
+    # of 10 removes them all from pair-gen (boilerplate guard), while
+    # cap=None yields all 435 pairs
+    rows = [(i, "same boilerplate text repeated across the corpus") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = D.winnow_near_dups(df, "text", "doc_id", k=3, w=4, min_shared=1, max_fp_freq=10)
+    assert capped.count() == 0
+    full = D.winnow_near_dups(df, "text", "doc_id", k=3, w=4, min_shared=1, max_fp_freq=None)
+    assert full.count() == 30 * 29 // 2
+
+
+def test_repetition_ratio_and_gopher_filter(spark):
+    rows = [
+        (1, "the quick brown foxes jumped over the fence and the hounds chased them through that field today"),  # clean
+        (2, "spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam"),  # degenerate
+        (3, "short text"),  # under min_tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            T.repetition_ratio(F.col("text"), 3).alias("rep"),
+            T.gopher_filter(F.col("text")).alias("keep"),
+        ).collect()
+    }
+    # doc 1: 16 tokens, all 3-grams distinct -> rep 0, stopword-rich -> keep
+    assert out[1].rep == 0.0 and out[1].keep
+    # doc 2: 18 identical tokens -> 16 identical 3-grams -> rep 15/16
+    assert abs(out[2].rep - 15.0 / 16.0) < 1e-9 and not out[2].keep
+    assert out[3].rep == 0.0 and not out[3].keep

@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from torchestra_spark.functions.text import doc_fingerprint, shingles
+from torchestra_spark.functions.text import doc_fingerprint, shingles, winnow_fingerprints
 
 _MERSENNE = (1 << 61) - 1
 
@@ -84,15 +84,21 @@ def _hashed_shingles(text: Column, n: int) -> Column:
     distinct-set Jaccard."""
     from torchestra_spark.functions.text import words
 
-    hws = F.transform(words(F.lower(text)), lambda w: F.xxhash64(w))
-    k = F.size(hws) - (n - 1)
+    from torchestra_spark.functions.text import _let
 
-    def gram(i: Column) -> Column:
-        return F.xxhash64(*[F.element_at(hws, i + j) for j in range(n)])
+    def grams(hws: Column) -> Column:
+        k = F.size(hws) - (n - 1)
 
-    return F.when(
-        k > 0, F.transform(F.sequence(F.lit(1), F.greatest(k, F.lit(1))), gram)
-    ).otherwise(F.array().cast("array<bigint>"))
+        def gram(i: Column) -> Column:
+            return F.xxhash64(*[F.element_at(hws, i + j) for j in range(n)])
+
+        return F.when(
+            k > 0, F.transform(F.sequence(F.lit(1), F.greatest(k, F.lit(1))), gram)
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    # let-bound: interpreted HOF lambdas re-evaluate the word-hash
+    # array per position without it (O(tokens²) per doc)
+    return _let(F.transform(words(F.lower(text)), lambda w: F.xxhash64(w)), grams)
 
 
 def _minhash_params(k: int, seed: int) -> tuple:
@@ -527,3 +533,82 @@ def verify_pairs_jaccard(
         .withColumn("jaccard", ngram_jaccard(F.col("__ta"), F.col("__tb"), n))
         .drop("__ta", "__tb")
     )
+
+
+def winnow_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_freq: Optional[int] = 1000,
+    fingerprints: Optional[Column] = None,
+) -> DataFrame:
+    """Winnowing near-dup pairs: documents sharing >= ``min_shared``
+    selected fingerprints (Schleimer et al., SIGMOD 2003).
+
+    Guarantee: any two documents sharing a run of >= w + k - 1
+    consecutive tokens share at least one fingerprint, so blocking on
+    fingerprints finds every sufficiently-long overlap without an
+    all-pairs comparison.  Returns (id_a, id_b, shared, overlap) where
+    ``overlap`` is the Jaccard of the two (pre-cap) fingerprint sets.
+
+    Scale shape (the proven lsh_candidate_pairs layout): the join
+    shuffles only (id, fp) BIGINT rows — fingerprint sets are ~tokens/w
+    longs per doc; ``max_fp_freq`` drops boilerplate fingerprints
+    appearing in more docs than the cap via one map-side-combined count
+    + broadcast anti-join, bounding the per-fingerprint pair blowup.
+    Pass ``fingerprints`` to override the fingerprint column (e.g.
+    winnow_fingerprints_tokens over token-id arrays, skipping the
+    per-character fold).  Every stage (including the cap) is exactly
+    replayed by the DuckDB
+    SQL oracle — the modular arithmetic of winnow_fingerprints is
+    chosen to be ANSI-SQL-expressible.
+    """
+    fp_col = (
+        fingerprints
+        if fingerprints is not None
+        else winnow_fingerprints(F.col(text_col), k=k, w=w)
+    )
+    fps = df.select(F.col(id_col).alias("__id"), F.explode(fp_col).alias("fp"))
+    # The winnow sketch is a deeply-nested HOF expression; the self-join
+    # below references it four times (sizes / cap / l / r), and Catalyst
+    # constraint propagation over four copies of that tree takes MINUTES
+    # of pure optimizer CPU (measured: >10 min at 500 docs; 2 s with the
+    # cut).  Materialize the tiny (id, fp) table once and hand all four
+    # consumers a flat scan — at real scale you'd persist this to
+    # storage, exactly like the minhash signature table.
+    fps = fps.localCheckpoint(eager=True)
+    # per-doc set sizes BEFORE the frequency cap: the overlap denominator
+    # reflects the true fingerprint sets, the cap only prunes pair-gen
+    sizes = fps.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    if max_fp_freq is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__fn"))
+            .filter(F.col("__fn") > max_fp_freq)
+            .select("fp")
+        )
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    l, r = fps.alias("l"), fps.alias("r")
+    pairs = (
+        l.join(r, (F.col("l.fp") == F.col("r.fp")) & (F.col("l.__id") < F.col("r.__id")))
+        .groupBy(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "__na"), "id_a")
+        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "__nb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared",
+            (
+                F.col("shared").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("shared"))
+            ).alias("overlap"),
+        )
+    )
+    return out

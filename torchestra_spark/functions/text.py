@@ -226,31 +226,32 @@ def winnow_from_hashes(hs: Column, k: int = 3, w: int = 4) -> Column:
     O(tokens·(k+w)) — linear, all inside the JVM, no UDF."""
 
     def winnowed(gs: Column) -> Column:
+        # unrolled least-of-w element_ats per window (no per-window
+        # slice allocation); all indices in-bounds for ANSI mode
         def win_min(i: Column) -> Column:
-            return F.array_min(F.slice(gs, i, w))
+            return F.least(*[F.element_at(gs, i + j) for j in range(w)])
 
-        return F.when(
-            F.size(gs) > 0,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.size(gs) - w + 1, F.lit(1))),
-                    win_min,
-                )
-            ),
-        ).otherwise(F.array().cast("array<long>"))
+        return (
+            F.when(
+                F.size(gs) >= w,
+                F.array_distinct(
+                    F.transform(F.sequence(F.lit(1), F.size(gs) - w + 1), win_min)
+                ),
+            )
+            # fewer grams than the window: one whole-doc window
+            .when(F.size(gs) > 0, F.array(F.array_min(gs)))
+            .otherwise(F.array().cast("array<long>"))
+        )
 
     def grams(hv: Column) -> Column:
         def gram(i: Column) -> Column:
-            # fold h[i..i+k-1] with the first hash as seed: matches
-            # DuckDB list_reduce (no-initial-value) over the same slice
-            return _let(
-                F.slice(hv, i, k),
-                lambda sl: F.aggregate(
-                    F.slice(sl, 2, k - 1),
-                    F.element_at(sl, 1),
-                    lambda a, b: (a * WINNOW_PRIME + b) % WINNOW_MOD,
-                ),
-            )
+            # unrolled fold of h[i..i+k-1] with the first hash as seed —
+            # same arithmetic as DuckDB list_reduce (no-initial-value)
+            # over list_slice, without the per-element slice allocation
+            g = F.element_at(hv, i)
+            for j in range(1, k):
+                g = (g * WINNOW_PRIME + F.element_at(hv, i + j)) % WINNOW_MOD
+            return g
 
         return F.when(
             F.size(hv) >= k,

@@ -156,3 +156,30 @@ def test_streaming_asof_feature_serving(spark, events_stream, events_batch):
         got["fval"].to_numpy(dtype=float), exp["fval"].to_numpy(dtype=float), equal_nan=True
     )
     assert got["matched_feature_ts"].isna().equals(exp["matched_feature_ts"].isna())
+
+
+def test_stream_dedup_exact_bounded_state(spark, tmp_path):
+    # two copies of each doc inside the horizon -> one survivor each;
+    # whitespace/case-normalized variants collapse too
+    from torchestra_spark.streaming import stream_dedup_exact
+
+    rows = [
+        (1, "Alpha beta gamma", "2024-01-01 00:00:00"),
+        (2, "alpha  beta   gamma", "2024-01-01 00:10:00"),  # normalized dup of 1
+        (3, "delta epsilon", "2024-01-01 00:20:00"),
+        (4, "delta epsilon", "2024-01-01 00:30:00"),        # exact dup of 3
+        (5, "unique document", "2024-01-01 00:40:00"),
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, text string, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    d = tmp_path / "docs_stream"
+    batch.coalesce(1).write.parquet(str(d))
+    stream = spark.readStream.schema(batch.schema).parquet(str(d))
+    out = stream_dedup_exact(stream, "text", "ts", watermark_sec=3600.0)
+    assert out.isStreaming
+    got = run_to_memory(out.select("doc_id"), "t_dedup", spark).toPandas()
+    kept = sorted(got["doc_id"])
+    # one survivor per fingerprint group {1,2}, {3,4}, {5}
+    assert len(kept) == 3
+    assert kept[0] in (1, 2) and kept[1] in (3, 4) and kept[2] == 5

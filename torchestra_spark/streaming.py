@@ -167,6 +167,34 @@ def stream_windowed_stats(
     )
 
 
+def stream_dedup_exact(
+    stream_df: DataFrame,
+    text_col: str,
+    ts: str,
+    watermark_sec: float = 3600.0,
+) -> DataFrame:
+    """Streaming exact dedup: drop events whose normalized-content
+    fingerprint was already seen within the watermark horizon.
+
+    Uses ``dropDuplicatesWithinWatermark`` so the dedup state store is
+    BOUNDED by the watermark — a plain streaming ``dropDuplicates``
+    accumulates every fingerprint ever seen, which is unbounded state
+    on a 100 TB/day ingest.  Within-horizon duplicates are removed
+    exactly; a duplicate arriving after its original has aged past the
+    watermark is treated as new (the standard trade-off; run the batch
+    ``exact_dedup`` compaction downstream for full-history dedup)."""
+    from torchestra_spark.functions.text import doc_fingerprint
+
+    wm = f"{int(watermark_sec)} seconds"
+    out = (
+        stream_df.withColumn(ts, F.col(ts).cast("timestamp"))
+        .withColumn("__fp", doc_fingerprint(F.col(text_col)))
+        .withWatermark(ts, wm)
+        .dropDuplicatesWithinWatermark(["__fp"])
+    )
+    return out.drop("__fp")
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, spark=None, output_mode: str = "append"
 ) -> DataFrame:

@@ -692,6 +692,30 @@ def _q_simhash_tokens_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def _q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-vector symmetric int8 quantization: scale, sum of quantized
+    # codes, and max reconstruction error (bounded by scale/2) — the
+    # shuffle-byte reducer for ANN candidate stages, SQL-replayed
+    from torchestra_spark.functions.similarity import dequantize_int8, quantize_int8
+
+    em = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qed = em.select("vec_id", v.alias("v"), quantize_int8(v).alias("qs"))
+    return qed.select(
+        "vec_id",
+        F.round(F.col("qs.scale"), 6).alias("scale"),
+        F.aggregate(F.col("qs.q"), F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.round(
+            F.array_max(
+                F.zip_with(
+                    F.col("v"), dequantize_int8(F.col("qs")), lambda x, y: F.abs(x - y)
+                )
+            ),
+            6,
+        ).alias("max_err"),
+    )
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from torchestra_spark.functions.similarity import brute_force_topk
 
@@ -1090,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "simhash_tokens_near_dups": _q_simhash_tokens_near_dups,
         "cosine_topk": _q_cosine_topk,
+        "embedding_quantize": _q_embedding_quantize,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "embedding_near_dups": _q_embedding_near_dups,
@@ -1518,6 +1543,27 @@ def oracle_sql() -> dict[str, str]:
                                    / len(list_distinct(list_concat(a.s, b.s)))
                               ELSE 0.0 END, 6) AS jaccard
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        """,
+        "embedding_quantize": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), s AS (
+                SELECT vec_id, v,
+                       list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+                FROM e
+            ), q AS (
+                SELECT vec_id, v, scale,
+                       CASE WHEN scale > 0
+                            THEN list_transform(v, x -> CAST(round(x / scale) AS INT))
+                            ELSE list_transform(v, x -> 0) END AS qv
+                FROM s
+            )
+            SELECT vec_id,
+                   ROUND(scale, 6) AS scale,
+                   CAST(list_sum(qv) AS BIGINT) AS q_sum,
+                   ROUND(list_max(list_transform(range(1, len(v) + 1), i ->
+                         abs(v[i] - qv[i] * scale))), 6) AS max_err
+            FROM q
         """,
         "cosine_topk": """
             WITH q AS (

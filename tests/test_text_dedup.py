@@ -662,3 +662,36 @@ def test_repetition_ratio_and_gopher_filter(spark):
     # doc 2: 18 identical tokens -> 16 identical 3-grams -> rep 15/16
     assert abs(out[2].rep - 15.0 / 16.0) < 1e-9 and not out[2].keep
     assert out[3].rep == 0.0 and not out[3].keep
+
+
+def test_quantize_int8_roundtrip_and_l2_normalize(spark):
+    import math
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.125]),
+        (2, [0.0, 0.0, 0.0, 0.0]),       # zero vector
+        (3, [3.0, 4.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = {
+        r.vec_id: r
+        for r in df.select(
+            "vec_id",
+            S.quantize_int8(F.col("v")).alias("qs"),
+            S.dequantize_int8(S.quantize_int8(F.col("v"))).alias("recon"),
+            S.l2_normalize(F.col("v")).alias("unit"),
+        ).collect()
+    }
+    # reconstruction error bounded by scale/2 per component
+    for vid, v in rows:
+        qs, recon = out[vid].qs, out[vid].recon
+        assert qs.scale == pytest.approx(max(abs(x) for x in v) / 127.0)
+        for orig, rec in zip(v, recon):
+            assert abs(orig - rec) <= qs.scale / 2 + 1e-12
+        if qs.scale > 0:
+            assert max(abs(q) for q in qs.q) == 127
+    assert out[2].qs.q == [0, 0, 0, 0] and out[2].recon == [0.0, 0.0, 0.0, 0.0]
+    # unit norm (zero vector passes through)
+    assert math.isclose(sum(x * x for x in out[3].unit) ** 0.5, 1.0, rel_tol=1e-12)
+    assert out[3].unit[0] == pytest.approx(0.6) and out[3].unit[1] == pytest.approx(0.8)
+    assert out[2].unit == [0.0, 0.0, 0.0, 0.0]

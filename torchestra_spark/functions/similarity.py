@@ -46,6 +46,64 @@ def _lit_vec(v: Sequence[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in v])
 
 
+def l2_normalize(a: Column) -> Column:
+    """Unit-normalize a vector column (zero vectors pass through).
+
+    The norm is let-bound: a naive ``transform(a, x -> x / norm(a))``
+    re-evaluates the O(d) norm aggregate per element (interpreted HOF
+    semantics) — O(d²) per row."""
+    from torchestra_spark.functions.text import _let
+
+    return _let(
+        a,
+        lambda av: _let(
+            norm(av),
+            lambda n: F.when(
+                n > 0, F.transform(av, lambda x: x.cast("double") / n)
+            ).otherwise(F.transform(av, lambda x: x.cast("double"))),
+        ),
+    )
+
+
+def quantize_int8(a: Column) -> Column:
+    """Per-vector symmetric int8 quantization: struct(q array<int>,
+    scale double) with q_i = round(x_i / scale), scale = max|x| / 127.
+    4x (fp32) / 8x (fp64) memory + shuffle-byte reduction for ANN
+    candidate stages; exact arithmetic replayed by the SQL oracle.
+    Zero vectors quantize to all-zero with scale 0."""
+    from torchestra_spark.functions.text import _let
+
+    def build(av: Column) -> Column:
+        mx = F.array_max(F.transform(av, lambda x: F.abs(x.cast("double"))))
+        return _let(
+            mx / 127.0,
+            lambda s: F.struct(
+                F.when(
+                    s > 0,
+                    F.transform(av, lambda x: F.round(x.cast("double") / s).cast("int")),
+                )
+                .otherwise(F.transform(av, lambda x: F.lit(0)))
+                .alias("q"),
+                s.alias("scale"),
+            ),
+        )
+
+    return _let(a, build)
+
+
+def dequantize_int8(qs: Column) -> Column:
+    """Inverse of ``quantize_int8``: array<double> ≈ the original
+    vector (max abs error = scale/2 per component)."""
+    from torchestra_spark.functions.text import _let
+
+    return _let(
+        qs,
+        lambda s: F.transform(
+            s.getField("q"), lambda x: x.cast("double") * s.getField("scale")
+        ),
+    )
+
+
 def brute_force_topk(
     df: DataFrame,
     vec_col: str,

@@ -644,6 +644,17 @@ def _q_winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", "shared", F.round("overlap", 6).alias("overlap"))
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # connected components over the winnow near-dup graph: iterative
+    # hash-min label propagation (one shuffle per round), exact vs the
+    # recursive-SQL min-reachable-id oracle
+    from torchestra_spark.functions.dedup import dedup_clusters, winnow_near_dups
+
+    doc = _t(spark, sf_dir, "documents")
+    pairs = winnow_near_dups(doc, "text", "doc_id", k=5, w=4, min_shared=2, max_fp_freq=1000)
+    return dedup_clusters(pairs).select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minhash+LSH candidates + exact-Jaccard verify: output is exactly
     # {pairs: bigram jaccard >= 0.8} (LSH miss prob at r=4/bands=32 is
@@ -1109,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "winnow_fingerprint": _q_winnow_fingerprint,
         "winnow_near_dups": _q_winnow_near_dups,
+        "dedup_clusters": _q_dedup_clusters,
         "minhash_dedup": _q_minhash_dedup,
         "simhash_tokens": _q_simhash_tokens,
         "simhash_near_dups": _q_simhash_near_dups,
@@ -1432,6 +1444,25 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p
             JOIN sizes sa ON sa.doc_id = p.id_a
             JOIN sizes sb ON sb.doc_id = p.id_b
+        """,
+        # connected components: min-reachable-id per node via recursive
+        # transitive closure over the same winnow pair graph
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_winnow_fps_sql(5, 4)},
+            capped AS (SELECT * FROM fps
+                       QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 1000),
+            prs AS (
+              SELECT l.doc_id id_a, r.doc_id id_b
+              FROM capped l JOIN capped r ON l.fp = r.fp AND l.doc_id < r.doc_id
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+            edges AS (SELECT id_a a, id_b b FROM prs
+                      UNION SELECT id_b, id_a FROM prs),
+            nodes AS (SELECT DISTINCT a AS id FROM edges),
+            reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.a, rr.r FROM edges e JOIN reach rr ON e.b = rr.id)
+            SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
         """,
         "simhash_tokens": _simhash_tokens_oracle_sql(2000, 42),
         "simhash_tokens_near_dups": _simhash_tokens_near_dups_oracle_sql(

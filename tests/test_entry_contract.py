@@ -48,5 +48,5 @@ def test_oracle_sql_references_known_views():
 def test_substantial_coverage():
     # the judge checks SURVEY §2 coverage; keep the bar explicit
     qs = E.queries()
-    assert len(qs) >= 59
+    assert len(qs) >= 60
     assert len(E.oracle_sql()) >= 48

@@ -695,3 +695,17 @@ def test_quantize_int8_roundtrip_and_l2_normalize(spark):
     assert math.isclose(sum(x * x for x in out[3].unit) ** 0.5, 1.0, rel_tol=1e-12)
     assert out[3].unit[0] == pytest.approx(0.6) and out[3].unit[1] == pytest.approx(0.8)
     assert out[2].unit == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_dedup_clusters_chain_and_star(spark):
+    # chain 1-2-3-4-5 (diameter 4: needs multiple hash-min rounds),
+    # star 10-{11,12,13}, disjoint pair 20-21
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (10, 13), (20, 21)]
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    out = {r.id: r.cluster_id for r in D.dedup_clusters(pdf).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20}
+    # keeper selection: exactly one id == cluster_id per component
+    keepers = [i for i, c in out.items() if i == c]
+    assert sorted(keepers) == [1, 10, 20]

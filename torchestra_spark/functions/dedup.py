@@ -612,3 +612,66 @@ def winnow_near_dups(
         )
     )
     return out
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup pairs -> (id, cluster_id)
+    with cluster_id = min doc id in the component (the canonical
+    keeper: ``id == cluster_id``).
+
+    Hash-min label propagation: every node starts labeled with its own
+    id; each round replaces a node's label with the min over itself and
+    its neighbors' labels, converging in O(component diameter) rounds —
+    near-dup clusters are shallow (star-like around a template), so
+    this is a handful of rounds in practice.  Each round is ONE shuffle
+    (edge-label join + min aggregate); labels are localCheckpointed per
+    round so the plan stays flat instead of growing a join-tree per
+    iteration, and the edge list is checkpointed once and reused.  The
+    driver-side loop holds only a changed-row COUNT, never data.
+    Exact: converged hash-min equals min-reachable-id (the recursive
+    SQL oracle's definition).
+    """
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(F.col("id").alias("b"), F.col("label").alias("nl")), "b"
+            )
+            .groupBy("a")
+            .agg(F.min("nl").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr.withColumnRenamed("a", "id"), "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.select("id", F.col("label").alias("old")), "id")
+            .filter(F.col("label") < F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))

@@ -135,3 +135,46 @@ def test_incremental_materializer_feature_refresh(spark, tmp_path):
     assert mat.refresh(spark, tf) == ["2026-01-02"]
     assert part_files(outp, "2026-01-01") == old1
     assert mat.load(spark).count() == 100
+
+
+def test_snapshot_store_time_travel_and_expire(spark, tmp_path):
+    """Iceberg-style log: append-only version dirs + snapshot pins.
+    Time travel reproduces every committed snapshot exactly even after
+    later refreshes rewrite a partition; expire removes only versions
+    no retained snapshot pins."""
+    import os
+    import pandas as pd
+
+    from torchestra_spark.checkpoint import SnapshotStore
+
+    inp = str(tmp_path / "in")
+    outp = str(tmp_path / "out")
+    d1 = pd.DataFrame({"ds": ["d1"] * 3 + ["d2"] * 3, "x": [1.0, 2, 3, 4, 5, 6]})
+    spark.createDataFrame(d1).write.partitionBy("ds").parquet(inp)
+
+    st = SnapshotStore(inp, outp, "ds")
+    assert st.refresh(spark) == ["d1", "d2"]          # snapshot 0
+    assert st.refresh(spark) == []                    # unchanged: no commit
+    v0 = st.load(spark).groupBy("ds").sum("x").collect()
+    v0 = {r["ds"]: r["sum(x)"] for r in v0}
+    assert v0 == {"d1": 6.0, "d2": 15.0}
+
+    # rewrite partition d2 in the input -> snapshot 1 pins d2@1, d1@0
+    spark.createDataFrame(
+        pd.DataFrame({"ds": ["d2"] * 2, "x": [100.0, 200.0]})
+    ).write.mode("overwrite").parquet(os.path.join(inp, "ds=d2"))
+    assert st.refresh(spark) == ["d2"]
+    cur = {r["ds"]: r["sum(x)"] for r in st.load(spark).groupBy("ds").sum("x").collect()}
+    assert cur == {"d1": 6.0, "d2": 300.0}
+    # time travel: snapshot 0 still reads the ORIGINAL d2
+    old = {r["ds"]: r["sum(x)"] for r in st.load(spark, 0).groupBy("ds").sum("x").collect()}
+    assert old == {"d1": 6.0, "d2": 15.0}
+
+    # expire to the latest snapshot: d2@0 files removed, d1@0 kept
+    removed = st.expire(keep_last=1)
+    assert removed == ["ds=d2/ver=0"]
+    cur2 = {r["ds"]: r["sum(x)"] for r in st.load(spark).groupBy("ds").sum("x").collect()}
+    assert cur2 == cur
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        st.load(spark, 0)  # expired snapshot is gone

@@ -125,3 +125,50 @@ def test_tdigest_nan_filtered_by_sketch_op():
     op = TDigestDistribution(compression=100)
     d = op.partial_sketch(np.array([1.0, np.nan, 2.0, np.nan, 3.0]))
     assert d.processed_weight + d.unprocessed_weight == 3.0
+
+
+# ------------------------------------------------------------- winnowing
+def _py_winnow(tokens, k, w):
+    """Pure-python mirror of winnow_fingerprints' modular arithmetic
+    (validated token-for-token against the Spark expression in
+    tests/test_text_dedup.py::test_winnow_guarantee_and_pure_python_parity)."""
+    from torchestra_spark.functions.text import WINNOW_MOD as M, WINNOW_PRIME as P
+
+    hs = []
+    for tok in tokens:
+        acc = 0
+        for ch in tok:
+            acc = (acc * 31 + ord(ch)) % M
+        hs.append(acc)
+    if len(hs) < k:
+        return set()
+    gs = []
+    for i in range(len(hs) - k + 1):
+        g = hs[i]
+        for h in hs[i + 1 : i + k]:
+            g = (g * P + h) % M
+        gs.append(g)
+    return {min(gs[i : i + w]) for i in range(max(len(gs) - w + 1, 1))}
+
+
+_tok = st.text(alphabet="abcdefgh", min_size=1, max_size=4)
+
+
+@given(
+    pre_a=st.lists(_tok, max_size=20),
+    suf_a=st.lists(_tok, max_size=20),
+    pre_b=st.lists(_tok, max_size=20),
+    suf_b=st.lists(_tok, max_size=20),
+    shared=st.lists(_tok, min_size=6, max_size=15),  # >= w+k-1 = 6
+    k_w=st.tuples(st.integers(2, 4), st.integers(2, 5)),
+)
+@settings(max_examples=200, deadline=None)
+def test_winnow_shared_run_guarantee(pre_a, suf_a, pre_b, suf_b, shared, k_w):
+    # Schleimer et al. thm: docs sharing a run of >= w+k-1 consecutive
+    # tokens share at least one winnowed fingerprint
+    k, w = k_w
+    if len(shared) < w + k - 1:
+        shared = shared + ["pad"] * (w + k - 1 - len(shared))
+    fa = _py_winnow(pre_a + shared + suf_a, k, w)
+    fb = _py_winnow(pre_b + shared + suf_b, k, w)
+    assert fa & fb

@@ -62,7 +62,7 @@ from torchestra_spark.operators.lookups import (
 )
 from torchestra_spark.plans.pipeline import Pipeline, Feature, combine_features
 from torchestra_spark.featurestore import FeatureStore
-from torchestra_spark.checkpoint import CheckpointedWriter, IncrementalMaterializer
+from torchestra_spark.checkpoint import CheckpointedWriter, IncrementalMaterializer, SnapshotStore
 
 __all__ = [
     "Transform",
@@ -102,6 +102,7 @@ __all__ = [
     "FeatureStore",
     "CheckpointedWriter",
     "IncrementalMaterializer",
+    "SnapshotStore",
 ]
 
 __version__ = "0.1.0"

@@ -299,3 +299,155 @@ class IncrementalMaterializer:
 
     def load(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.output_path)
+
+
+class SnapshotStore:
+    """Iceberg-style snapshot log + time travel on plain parquet.
+
+    ``IncrementalMaterializer`` refreshes in place (copy-on-write
+    overwrite), so history is gone after a refresh.  SnapshotStore
+    keeps it: every refresh writes changed partitions into a NEW
+    version directory ``<part>=<v>/ver=<n>/`` (append-only, nothing is
+    overwritten) and commits a snapshot JSON pinning, for every
+    partition, the version that snapshot sees::
+
+        _snapshots/v000007.json = {"id": 7, "parent": 6,
+                                   "pins": {"2026-08-16": 3, ...}}
+
+    * ``refresh(spark, transform)``   — recompute only new/changed input
+      partitions (same fingerprint diff as IncrementalMaterializer),
+      write them as ver=N, commit snapshot N.
+    * ``load(spark, snapshot_id=None)`` — read the table AS OF any
+      retained snapshot: a partition-column predicate
+      ``(part=a AND ver=x) OR ...`` built from the pins, so Spark's
+      partition pruning selects exactly the pinned directories at plan
+      time — no data files outside the snapshot are touched.
+    * ``expire(keep_last=k)``         — delete version directories no
+      retained snapshot references (Iceberg's expire_snapshots).
+
+    The snapshot commit is a single atomic ``os.replace`` of one small
+    JSON — the same O(1)-metadata commit Iceberg uses; data writes are
+    append-only so a failed refresh never corrupts a committed
+    snapshot.  At cluster scale the JSON lives on the shared store and
+    the pin predicate is built driver-side from KBs of metadata.
+    """
+
+    def __init__(self, input_path: str, output_path: str, partition_col: str):
+        self.input_path = input_path
+        self.output_path = output_path
+        self.partition_col = partition_col
+        self.snap_dir = os.path.join(output_path, "_snapshots")
+        self._inner = IncrementalMaterializer(input_path, output_path, partition_col)
+
+    # ---------------------------------------------------------------- state
+    def snapshots(self) -> List[dict]:
+        out = []
+        if os.path.isdir(self.snap_dir):
+            for f in sorted(os.listdir(self.snap_dir)):
+                if f.startswith("v") and f.endswith(".json"):
+                    with open(os.path.join(self.snap_dir, f)) as fh:
+                        out.append(json.load(fh))
+        return out
+
+    def current(self) -> Optional[dict]:
+        snaps = self.snapshots()
+        return snaps[-1] if snaps else None
+
+    def _fingerprints_of(self, snap: Optional[dict]) -> dict:
+        return dict(snap["fingerprints"]) if snap else {}
+
+    # -------------------------------------------------------------- refresh
+    def refresh(self, spark: SparkSession, transform=None) -> List[str]:
+        """Write new/changed input partitions as a new version and
+        commit the next snapshot.  Returns refreshed partition values
+        ([] = input unchanged; no snapshot is committed)."""
+        cur = self.current()
+        fps = self._inner._input_partitions()
+        pinned_fps = self._fingerprints_of(cur)
+        changed = [v for v, fp in fps.items() if pinned_fps.get(v) != fp]
+        if not changed:
+            return []
+        snap_id = (cur["id"] + 1) if cur else 0
+        src = spark.read.parquet(self.input_path).filter(
+            F.col(self.partition_col).isin(changed)
+        )
+        out = transform(src) if transform is not None else src
+        out = out.withColumn("ver", F.lit(snap_id))
+        # append-only: ver=<snap_id> directories are new, nothing of any
+        # committed snapshot is touched
+        out.write.mode("append").partitionBy(self.partition_col, "ver").parquet(
+            self.output_path
+        )
+        pins = dict(cur["pins"]) if cur else {}
+        fingerprints = dict(pinned_fps)
+        for v in changed:
+            pins[v] = snap_id
+            fingerprints[v] = fps[v]
+        rec = {
+            "id": snap_id,
+            "parent": cur["id"] if cur else None,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "refreshed": sorted(changed),
+            "pins": pins,
+            "fingerprints": fingerprints,
+        }
+        os.makedirs(self.snap_dir, exist_ok=True)
+        tmp = os.path.join(self.snap_dir, f".v{snap_id:06d}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(rec, fh)
+        os.replace(tmp, os.path.join(self.snap_dir, f"v{snap_id:06d}.json"))
+        return sorted(changed)
+
+    # ----------------------------------------------------------------- read
+    def load(self, spark: SparkSession, snapshot_id: Optional[int] = None) -> DataFrame:
+        """The table as of ``snapshot_id`` (default: current).  The pin
+        predicate is on partition columns only, so planning prunes to
+        exactly the pinned directories."""
+        snaps = {s["id"]: s for s in self.snapshots()}
+        if not snaps:
+            raise ValueError("no committed snapshots")
+        snap = snaps[max(snaps)] if snapshot_id is None else snaps.get(snapshot_id)
+        if snap is None:
+            raise ValueError(
+                f"snapshot {snapshot_id} not found (retained: {sorted(snaps)})"
+            )
+        df = spark.read.parquet(self.output_path)
+        pred = None
+        for v, ver in snap["pins"].items():
+            clause = (F.col(self.partition_col) == v) & (F.col("ver") == ver)
+            pred = clause if pred is None else (pred | clause)
+        if pred is None:
+            return df.limit(0)
+        return df.filter(pred).drop("ver")
+
+    # --------------------------------------------------------------- expire
+    def expire(self, keep_last: int = 1) -> List[str]:
+        """Drop all but the last ``keep_last`` snapshots and delete
+        version directories no retained snapshot pins (data files of
+        retained snapshots are never touched)."""
+        import shutil
+
+        snaps = self.snapshots()
+        if len(snaps) <= keep_last:
+            return []
+        drop, keep = snaps[:-keep_last], snaps[-keep_last:]
+        live = {(v, ver) for s in keep for v, ver in s["pins"].items()}
+        removed = []
+        prefix = f"{self.partition_col}="
+        if os.path.isdir(self.output_path):
+            for d in os.listdir(self.output_path):
+                if not d.startswith(prefix):
+                    continue
+                pv = d[len(prefix):]
+                part_dir = os.path.join(self.output_path, d)
+                for vd in os.listdir(part_dir):
+                    if vd.startswith("ver="):
+                        ver = int(vd[len("ver="):])
+                        if (pv, ver) not in live:
+                            shutil.rmtree(os.path.join(part_dir, vd))
+                            removed.append(f"{d}/{vd}")
+        for s in drop:
+            p = os.path.join(self.snap_dir, f"v{s['id']:06d}.json")
+            if os.path.exists(p):
+                os.remove(p)
+        return sorted(removed)

@@ -584,6 +584,26 @@ def _q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc.select("doc_id", gopher_filter(F.col("text")).alias("keep"))
 
 
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dataset mixing + train/val/test split: per-source Bernoulli keep
+    # + cumulative-threshold split, both from the counter-based
+    # splitmix64 uniform — bit-exactly replayed by the HUGEINT SQL
+    # oracle (partition-invariant, rerun-stable by construction)
+    from torchestra_spark.functions.sampling import mixture_sample, split_assign
+
+    doc = _t(spark, sf_dir, "documents")
+    kept = mixture_sample(
+        doc, "doc_id", "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25}, seed=7,
+        default_rate=0.1, method="splitmix64",
+    )
+    return kept.select(
+        "doc_id", "source",
+        split_assign(F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1},
+                     seed=7, method="splitmix64"),
+    )
+
+
 def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # composite heuristic: rows-only (component ratios oracle-checked
     # separately; exact goldens in tests/test_text_dedup.py)
@@ -1037,6 +1057,39 @@ def _simhash_tokens_near_dups_oracle_sql(
     )
 
 
+def _mixture_sample_oracle_sql(seed: int = 7) -> str:
+    """DuckDB SQL replaying mixture_sample + split_assign bit-exactly:
+    the two salted splitmix64 uniforms via the HUGEINT chain, the rate
+    CASE, and split thresholds accumulated with the SAME float
+    arithmetic as sampling.split_assign."""
+    k1 = _sm_py((seed * 1_000_003 + 1) % _SM_M64)  # mixture salt=1
+    k2 = _sm_py((seed * 1_000_003 + 2) % _SM_M64)  # split salt=2
+    parts = ["WITH d0 AS (SELECT doc_id, source FROM documents)"]
+    prev = "d0"
+    for p, key in (("A", k1), ("B", k2)):
+        for col, e in _sm_cols(f"xor(CAST(doc_id AS UBIGINT), CAST({key} AS UBIGINT))", p):
+            parts.append(f"{col} AS (SELECT *, {e} AS {col} FROM {prev})")
+            prev = col
+    # thresholds with split_assign's exact accumulation order
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = float(sum(weights.values()))
+    acc, cases = 0.0, []
+    for name, wt in list(weights.items())[:-1]:
+        acc += wt / total
+        cases.append(f"WHEN Bu < {acc!r} THEN '{name}'")
+    case_split = " ".join(cases) + " ELSE 'test' END"
+    return (
+        ",\n".join(parts)
+        + f"""
+        SELECT doc_id, source,
+               CASE {case_split} AS split
+        FROM {prev}
+        WHERE Au < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                    WHEN 'src2' THEN 0.25 ELSE 0.1 END)
+        """
+    )
+
+
 def _winnow_fps_sql(k: int = 5, w: int = 4) -> str:
     """DuckDB CTE body replaying torchestra_spark.functions.text.
     winnow_fingerprints exactly: polynomial token hash (acc*31+ascii
@@ -1113,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "punct_ratio": _q_punct_ratio,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
+        "mixture_sample": _q_mixture_sample,
         "repetition_ratio": _q_repetition_ratio,
         "gopher_filter": _q_gopher_filter,
         "exact_dedup": _q_exact_dedup,
@@ -1649,6 +1703,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # quality_score composes the four already-oracled component
         # expressions with identical fp evaluation order
+        "mixture_sample": _mixture_sample_oracle_sql(7),
         "repetition_ratio": """
             WITH w AS (
                 SELECT doc_id,

@@ -35,7 +35,13 @@ def test_oracle_sql_references_known_views():
     builtins = {"range", "unnest"}
     for name, sql in E.oracle_sql().items():
         # strip CTE names defined in the statement itself
-        ctes = set(re.findall(r"(?:WITH|,)\s*([a-zA-Z_][a-zA-Z0-9_]*)\s+AS\s*\(", sql, re.IGNORECASE))
+        ctes = set(
+            re.findall(
+                r"(?:WITH(?:\s+RECURSIVE)?|,)\s*([a-zA-Z_][a-zA-Z0-9_]*)\s*(?:\([^)]*\))?\s+AS\s*\(",
+                sql,
+                re.IGNORECASE,
+            )
+        )
         for t in word.findall(sql):
             assert (
                 t.lower() in VIEWS
@@ -48,5 +54,5 @@ def test_oracle_sql_references_known_views():
 def test_substantial_coverage():
     # the judge checks SURVEY §2 coverage; keep the bar explicit
     qs = E.queries()
-    assert len(qs) >= 60
+    assert len(qs) >= 61
     assert len(E.oracle_sql()) >= 48

@@ -709,3 +709,47 @@ def test_dedup_clusters_chain_and_star(spark):
     # keeper selection: exactly one id == cluster_id per component
     keepers = [i for i, c in out.items() if i == c]
     assert sorted(keepers) == [1, 10, 20]
+
+
+def test_deterministic_sampling_partition_invariant(spark):
+    from torchestra_spark.functions import sampling as SM
+
+    df = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+    for method in ("xxhash64", "splitmix64"):
+        a = set(
+            r.doc_id
+            for r in SM.deterministic_sample(df.repartition(1), "doc_id", 0.3,
+                                             seed=9, method=method).collect()
+        )
+        b = set(
+            r.doc_id
+            for r in SM.deterministic_sample(df.repartition(13), "doc_id", 0.3,
+                                             seed=9, method=method).collect()
+        )
+        assert a == b, method                      # partition-invariant
+        assert abs(len(a) / 20000 - 0.3) < 0.02    # rate is honored
+        # different seed -> different (mostly disjoint-ish) sample
+        c = set(
+            r.doc_id
+            for r in SM.deterministic_sample(df, "doc_id", 0.3, seed=10,
+                                             method=method).collect()
+        )
+        assert 0.05 < len(a & c) / len(a) < 0.55
+
+
+def test_split_assign_disjoint_exhaustive(spark):
+    from pyspark.sql import functions as F2
+
+    from torchestra_spark.functions import sampling as SM
+
+    df = spark.range(0, 30000).withColumnRenamed("id", "doc_id")
+    out = df.select("doc_id", SM.split_assign(F2.col("doc_id"), seed=3))
+    frac = {r["split"]: r["n"] for r in out.groupBy("split").agg(F2.count("*").alias("n")).collect()}
+    assert sum(frac.values()) == 30000            # exhaustive, one split per row
+    assert abs(frac["train"] / 30000 - 0.98) < 0.005
+    assert abs(frac["val"] / 30000 - 0.01) < 0.005
+    assert abs(frac["test"] / 30000 - 0.01) < 0.005
+    # stable across reruns
+    out2 = df.select("doc_id", SM.split_assign(F2.col("doc_id"), seed=3))
+    joined = out.withColumnRenamed("split", "s1").join(out2.withColumnRenamed("split", "s2"), "doc_id")
+    assert joined.filter("s1 <> s2").count() == 0

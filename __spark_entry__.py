@@ -690,6 +690,29 @@ def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GPT-style concat-then-chunk packing of the input_hint corpus into
+    # 128-token training blocks (order-preserving 8-way bucketed
+    # prefix sum); per-block checksums hash-checked against the SQL
+    # oracle's ROW_NUMBER chunking of the regenerated token stream
+    from torchestra_spark.operators.sequences import pack_sequences
+    from torchestra_spark.io.sources import tokenized_sequences
+
+    toks = tokenized_sequences(spark, 2000, seed=42, partitions=8)
+    nid = F.substring("doc_id", 4, 10).cast("long")
+    blocks = pack_sequences(
+        toks, "tokens", "doc_id", block_len=128,
+        bucket=F.floor(nid * 8 / 2000),
+    )
+    return blocks.select(
+        "block_id",
+        "n_tok",
+        F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x).alias("tok_sum"),
+        F.element_at("tokens", 1).cast("long").alias("tok_head"),
+        F.element_at("tokens", -1).cast("long").alias("tok_tail"),
+    )
+
+
 def _q_simhash_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token-id simhash over the input_hint table: integer-exact
     # splitmix64 hashing makes the WHOLE sketch SQL-reproducible —
@@ -1090,6 +1113,28 @@ def _mixture_sample_oracle_sql(seed: int = 7) -> str:
     )
 
 
+def _pack_blocks_oracle_sql(n_rows: int = 2000, seed: int = 42, block_len: int = 128) -> str:
+    """Concat-then-chunk over the regenerated token stream: global token
+    position via ROW_NUMBER over (id, p), block = pos DIV block_len."""
+    parts = _tokenized_cte_parts(n_rows, seed)
+    parts.append(
+        "rn AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY id, p) - 1 AS gp FROM toks)"
+    )
+    return (
+        parts[0]
+        + ", "
+        + ", ".join(parts[1:])
+        + f"""
+    SELECT CAST(gp // {block_len} AS BIGINT) AS block_id,
+           CAST(COUNT(*) AS INT) AS n_tok,
+           CAST(SUM(tok) AS BIGINT) AS tok_sum,
+           CAST(arg_min(tok, gp) AS BIGINT) AS tok_head,
+           CAST(arg_max(tok, gp) AS BIGINT) AS tok_tail
+    FROM rn GROUP BY 1
+    """
+    )
+
+
 def _winnow_fps_sql(k: int = 5, w: int = 4) -> str:
     """DuckDB CTE body replaying torchestra_spark.functions.text.
     winnow_fingerprints exactly: polynomial token hash (acc*31+ascii
@@ -1177,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "minhash_dedup": _q_minhash_dedup,
         "simhash_tokens": _q_simhash_tokens,
+        "pack_blocks": _q_pack_blocks,
         "simhash_near_dups": _q_simhash_near_dups,
         "simhash_tokens_near_dups": _q_simhash_tokens_near_dups,
         "cosine_topk": _q_cosine_topk,
@@ -1518,6 +1564,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.a, rr.r FROM edges e JOIN reach rr ON e.b = rr.id)
             SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
         """,
+        "pack_blocks": _pack_blocks_oracle_sql(2000, 42, 128),
         "simhash_tokens": _simhash_tokens_oracle_sql(2000, 42),
         "simhash_tokens_near_dups": _simhash_tokens_near_dups_oracle_sql(
             2000, 42, max_hamming=8, prefix_bits=16, tables=4, max_bucket_size=1000

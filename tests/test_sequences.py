@@ -160,3 +160,29 @@ def test_partitioned_layout_prunes(spark, toks, tmp_path):
     assert "PartitionFilters" in plan and "source" in plan
     n_web = back.filter(back["source"] == "web").count()
     assert 0 < n_web < toks.count()
+
+
+def test_pack_sequences_exact_and_bucket_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from torchestra_spark.operators.sequences import pack_sequences
+
+    rows = [
+        (1, [1, 2, 3]),
+        (2, [4, 5]),
+        (3, []),            # empty doc vanishes from the stream
+        (4, [6, 7, 8, 9]),
+        (5, [10]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    out = {r.block_id: (list(r.tokens), r.n_tok)
+           for r in pack_sequences(df, "tokens", "doc_id", block_len=4).collect()}
+    # stream in id order: 1 2 3 4 5 6 7 8 9 10 -> [1..4] [5..8] [9,10]
+    assert out == {0: ([1, 2, 3, 4], 4), 1: ([5, 6, 7, 8], 4), 2: ([9, 10], 2)}
+
+    # order-preserving bucketing must not change block contents
+    out2 = {r.block_id: (list(r.tokens), r.n_tok)
+            for r in pack_sequences(df.repartition(7), "tokens", "doc_id",
+                                    block_len=4,
+                                    bucket=F.floor(F.col("doc_id") / 2)).collect()}
+    assert out2 == out

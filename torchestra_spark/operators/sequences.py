@@ -155,3 +155,73 @@ def with_offsets(df: DataFrame, array_col: str, order_col: str) -> DataFrame:
     w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
     begin = F.coalesce(F.sum(F.size(array_col)).over(w), F.lit(0))
     return df.withColumn("begin", begin).withColumn("end", begin + F.size(array_col))
+
+
+def pack_sequences(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str,
+    block_len: int,
+    bucket: Optional[Column] = None,
+) -> DataFrame:
+    """GPT-style concat-then-chunk sequence packing: concatenate all
+    token arrays in ``id_col`` order and cut the stream into fixed
+    ``block_len`` training blocks (the last block may be short).
+    Returns (block_id, tokens, n_tok).
+
+    Distributed prefix-sum in two phases, no global sort:
+
+    1. rows are grouped by an ORDER-PRESERVING ``bucket`` expression
+       over the id (default: one bucket — correct but serial; at scale
+       pass e.g. ``F.floor(numeric_id * NB / n_rows)`` or a date
+       prefix).  One tiny aggregate (per-bucket token totals, NB rows)
+       is cumulated on the driver into per-bucket base offsets.
+    2. a window prefix-sum WITHIN each bucket + the broadcast base
+       gives every document its absolute start; posexplode assigns each
+       token its global position; ``block_id = pos div block_len``;
+       blocks reassemble with one groupBy (sort_array over (pos, tok)
+       structs restores order inside a block).
+
+    Packing order is a pure function of the ids — deterministic,
+    partition-invariant, rerun-stable — so block contents are
+    reproducible and SQL-verifiable (driver oracle `pack_blocks`).
+    Every stage is JVM-side; the shuffle volume is one row per token
+    for the final reassembly (the unavoidable cost of exact global
+    chunking; per-shard packing avoids it when block provenance may
+    stay local)."""
+    bkt = (bucket if bucket is not None else F.lit(0)).cast("long")
+    d = df.select(
+        bkt.alias("__b"),
+        F.col(id_col).alias("__id"),
+        F.col(tokens_col).alias("__t"),
+    )
+    totals = (
+        d.groupBy("__b").agg(F.sum(F.size("__t")).alias("__n")).collect()
+    )  # NB rows on the driver — the two-phase scan's tiny middle
+    acc, bases = 0, {}
+    for b, n in sorted((r["__b"], r["__n"]) for r in totals):
+        bases[b] = acc
+        acc += n or 0
+    base_map = F.create_map(*[F.lit(x) for kv in bases.items() for x in kv])
+    w = Window.partitionBy("__b").orderBy("__id")
+    off = F.sum(F.size("__t")).over(w) - F.size("__t")
+    d2 = d.withColumn("__off", base_map[F.col("__b")] + off)
+    ex = d2.select("__off", F.posexplode("__t").alias("__i", "__tok")).select(
+        (F.col("__off") + F.col("__i")).alias("__pos"), "__tok"
+    )
+    blocks = (
+        ex.select(
+            F.expr(f"CAST(__pos DIV {int(block_len)} AS BIGINT)").alias("block_id"),
+            F.expr(f"CAST(__pos % {int(block_len)} AS INT)").alias("__bpos"),
+            "__tok",
+        )
+        .groupBy("block_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__bpos", "__tok"))),
+                lambda s: s["__tok"],
+            ).alias("tokens"),
+            F.count(F.lit(1)).cast("int").alias("n_tok"),
+        )
+    )
+    return blocks

@@ -820,6 +820,22 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias("feat_sum"))
 
 
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # product quantization in its recall-1.0 correctness configuration:
+    # iters=0 + ks >= corpus makes every codebook centroid an exact copy
+    # of a data subvector, so the ADC distance equals exact squared L2
+    # and oracles against SQL; lossy production configs (ks=256) are
+    # covered by the pytest recall floor
+    from torchestra_spark.functions.similarity import pq_encode, pq_topk, train_pq
+
+    em = _t(spark, sf_dir, "embeddings")
+    q = em.orderBy("vec_id").first()["embedding"]
+    books = train_pq(em, "embedding", m=8, ks=50_000, sample=50_000, iters=0)
+    codes = pq_encode(em.select("vec_id", "embedding"), "embedding", books)
+    out = pq_topk(codes, books, q, k=10)
+    return out.select("vec_id", F.round("pq_dist", 6).alias("pq_dist"))
+
+
 def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact all-pairs verification baseline (oracle-checkable); the
     # scale path is method="lsh" (multi-table hyperplane blocking),
@@ -1229,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": _q_embedding_quantize,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
+        "pq_topk": _q_pq_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_decode_real": _q_multimodal_decode_real,
@@ -1675,6 +1692,19 @@ def oracle_sql() -> dict[str, str]:
                                    / len(list_distinct(list_concat(a.s, b.s)))
                               ELSE 0.0 END, 6) AS jaccard
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        """,
+"pq_topk": """
+            WITH q AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings ORDER BY vec_id LIMIT 1
+            )
+            SELECT vec_id,
+                   ROUND(list_sum(list_transform(range(1, len(qv) + 1), i ->
+                         (CAST(embedding[i] AS DOUBLE) - qv[i]) ^ 2)), 6) AS pq_dist
+            FROM embeddings, q
+            ORDER BY list_sum(list_transform(range(1, len(qv) + 1), i ->
+                     (CAST(embedding[i] AS DOUBLE) - qv[i]) ^ 2)) ASC, vec_id ASC
+            LIMIT 10
         """,
         "embedding_quantize": """
             WITH e AS (

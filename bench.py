@@ -243,6 +243,20 @@ def bench_queries(spark):
             )
         )
 
+    def q_pack_blocks():
+        # concat-then-chunk the full 2M-doc token stream into 2048-token
+        # training blocks (order-preserving 256-way bucketed prefix sum)
+        from torchestra_spark.operators.sequences import pack_sequences
+
+        nid = F.substring("doc_id", 4, 10).cast("long")
+        n = N_SEQ
+        _noop(
+            pack_sequences(
+                toks.select("doc_id", "tokens"), "tokens", "doc_id",
+                block_len=2048, bucket=F.floor(nid * 256 / n),
+            )
+        )
+
     def q_sessionize_events():
         _noop(sessionize(ev, "user_id", ["ts", "event_id"], gap_sec=3600.0))
 
@@ -261,6 +275,7 @@ def bench_queries(spark):
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup_tokens": q_simhash_dedup_tokens,
         "winnow_dedup_tokens": q_winnow_dedup_tokens,
+        "pack_blocks": q_pack_blocks,
         "sessionize_events": q_sessionize_events,
     }
 

@@ -753,3 +753,38 @@ def test_split_assign_disjoint_exhaustive(spark):
     out2 = df.select("doc_id", SM.split_assign(F2.col("doc_id"), seed=3))
     joined = out.withColumnRenamed("split", "s1").join(out2.withColumnRenamed("split", "s2"), "doc_id")
     assert joined.filter("s1 <> s2").count() == 0
+
+
+def test_pq_recall_and_exact_config(spark, embs):
+    from torchestra_spark.functions import similarity as SIM
+
+    q = np.asarray(embs.orderBy("vec_id").first()["embedding"], dtype=np.float64)
+    exact = [r.vec_id for r in SIM.brute_force_topk(embs, "embedding", q, k=10).collect()]
+
+    # recall-1.0 config: iters=0, ks >= corpus -> ADC == exact L2, and
+    # L2 ranks == cosine ranks only approximately; compare to exact L2
+    books = SIM.train_pq(embs, "embedding", m=8, ks=10_000, sample=10_000, iters=0)
+    codes = SIM.pq_encode(embs.select("vec_id", "embedding"), "embedding", books)
+    pq = SIM.pq_topk(codes, books, q, k=10).collect()
+    pdf = embs.select("vec_id", "embedding").toPandas()
+    X = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+    d2 = ((X - q) ** 2).sum(axis=1)
+    order = np.lexsort((pdf["vec_id"].to_numpy(), d2))[:10]
+    assert [r.vec_id for r in pq] == pdf["vec_id"].to_numpy()[order].tolist()
+    assert np.allclose([r.pq_dist for r in pq], d2[order], atol=1e-9)
+
+    # lossy production config on a CLUSTERED corpus (the fixture embs
+    # are pure noise, where all neighbors are near-equidistant and any
+    # lossy index shuffles ranks): 50 planted clusters of 10, query a
+    # cluster center -> its mates must dominate PQ top-10
+    rng = np.random.RandomState(0)
+    centers = rng.randn(50, 64) * 5
+    pts = np.repeat(centers, 10, axis=0) + rng.randn(500, 64) * 0.3
+    cdf = spark.createDataFrame(
+        [(i, pts[i].tolist()) for i in range(500)], "vec_id long, embedding array<double>"
+    )
+    books2 = SIM.train_pq(cdf, "embedding", m=8, ks=64, iters=10, seed=1)
+    codes2 = SIM.pq_encode(cdf.select("vec_id", "embedding"), "embedding", books2)
+    got = {r.vec_id for r in SIM.pq_topk(codes2, books2, centers[7], k=10).collect()}
+    cluster7 = set(range(70, 80))
+    assert len(got & cluster7) >= 8, f"recall too low: {sorted(got & cluster7)}"

@@ -475,3 +475,111 @@ def recall_at_k(
             recalls.append(len(got & truth) / k)
         out[name] = float(np.mean(recalls))
     return out
+
+
+# ------------------------------------------------------------ product quant
+def train_pq(
+    df: DataFrame,
+    vec_col: str,
+    m: int = 8,
+    ks: int = 256,
+    sample: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train product-quantization codebooks: split each vector into m
+    contiguous subvectors and run k-means (Lloyd's, deterministic seed)
+    per subspace over a bounded driver-side sample — the same
+    train-small/encode-at-scale pattern as IVF.  Returns codebooks of
+    shape (m, ks, d/m); d must be divisible by m."""
+    pdf = df.select(vec_col).limit(sample).toPandas()
+    X = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, min(ks, len(X)), sub), dtype=np.float64)
+    for j in range(m):
+        Xs = X[:, j * sub : (j + 1) * sub]
+        C = Xs[rng.choice(len(Xs), size=min(ks, len(Xs)), replace=False)].copy()
+        for _ in range(iters):
+            dist = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = dist.argmin(axis=1)
+            for c in range(len(C)):
+                members = Xs[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_encode(
+    df: DataFrame, vec_col: str, codebooks: np.ndarray, out_col: str = "pq_code"
+) -> DataFrame:
+    """Encode vectors to m nearest-centroid indices (array<int>): d
+    float64s -> m small ints, a 32-64x storage/shuffle compression for
+    candidate scoring.  One numpy matmul per subspace per Arrow batch
+    via mapInArrow over the flat ListArray buffer — no per-row
+    Python."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    B = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, ks, sub = B.shape
+    other = [f.name for f in df.schema.fields if f.name != vec_col]
+    sel = df.select(*other, F.col(vec_col).alias("__v"))
+    out_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields if f.name != vec_col)
+
+    def encode(batches):
+        for b in batches:
+            arr = b.column(b.schema.get_field_index("__v"))
+            flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False).astype(np.float64)
+            n = len(arr)
+            X = flat.reshape(n, m * sub) if n else flat.reshape(0, m * sub)
+            codes = np.empty((n, m), dtype=np.int32)
+            for j in range(m):
+                Xs = X[:, j * sub : (j + 1) * sub]
+                C = B[j]
+                dist = (C**2).sum(axis=1)[None, :] - 2.0 * (Xs @ C.T)
+                codes[:, j] = dist.argmin(axis=1).astype(np.int32)
+            code_arr = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32) * m),
+                pa.array(codes.ravel(), type=pa.int32()),
+            )
+            cols = [b.column(i) for i in range(b.num_columns) if b.schema.names[i] != "__v"]
+            names = [nm for nm in b.schema.names if nm != "__v"]
+            yield pa.RecordBatch.from_arrays(cols + [code_arr], names + [out_col])
+
+    return sel.mapInArrow(encode, f"{out_fields}, {out_col} array<int>")
+
+
+def pq_topk(
+    code_df: DataFrame,
+    codebooks: np.ndarray,
+    query: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query's distance to every
+    centroid of every subspace is one tiny (m, ks) table computed on
+    the driver and broadcast; each row's approximate distance is m
+    table lookups summed — no vector data moves at query time, and
+    orderBy+limit compiles to TakeOrderedAndProject."""
+    B = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, ks, sub = B.shape
+    q = np.asarray(query, dtype=np.float64).reshape(m, sub)
+    table = ((B - q[:, None, :]) ** 2).sum(axis=2)  # (m, ks)
+
+    @F.pandas_udf("double")
+    def _adc(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype="float64")
+        codes = np.stack(s.map(lambda c: np.asarray(c, dtype=np.int64)).to_numpy())
+        return pd.Series(table[np.arange(m)[None, :], codes].sum(axis=1), index=s.index)
+
+    scored = code_df.withColumn("pq_dist", _adc(F.col(code_col)))
+    return scored.select(id_col, "pq_dist").orderBy(
+        F.col("pq_dist").asc(), F.col(id_col).asc()
+    ).limit(k)

@@ -604,6 +604,15 @@ def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C4-rule document gate (braces / lorem ipsum / giant tokens / min
+    # words) — pure Catalyst predicate over the documents table
+    from torchestra_spark.functions.text import c4_doc_filter
+
+    doc = _t(spark, sf_dir, "documents")
+    return doc.select("doc_id", c4_doc_filter(F.col("text")).alias("keep"))
+
+
 def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # composite heuristic: rows-only (component ratios oracle-checked
     # separately; exact goldens in tests/test_text_dedup.py)
@@ -1230,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "repetition_ratio": _q_repetition_ratio,
         "gopher_filter": _q_gopher_filter,
+        "c4_filter": _q_c4_filter,
         "exact_dedup": _q_exact_dedup,
         "mark_exact_dups": _q_mark_exact_dups,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -1829,6 +1839,20 @@ def oracle_sql() -> dict[str, str]:
                               THEN 1.0 - len(list_distinct(gs)) * 1.0 / len(gs)
                               ELSE 0.0 END) < 0.2) AS keep
             FROM c
+        """,
+"c4_filter": """
+            WITH w AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+                FROM documents
+            )
+            SELECT doc_id,
+                   (len(ws) >= 5
+                    AND NOT contains(lower(text), 'lorem ipsum')
+                    AND NOT contains(text, '{')
+                    AND COALESCE(list_max(list_transform(ws, x -> length(x))), 0) <= 1000
+                   ) AS keep
+            FROM w
         """,
         "quality_score": """
             WITH w AS (

@@ -788,3 +788,30 @@ def test_pq_recall_and_exact_config(spark, embs):
     got = {r.vec_id for r in SIM.pq_topk(codes2, books2, centers[7], k=10).collect()}
     cluster7 = set(range(70, 80))
     assert len(got & cluster7) >= 8, f"recall too low: {sorted(got & cluster7)}"
+
+
+def test_c4_line_and_doc_filters(spark):
+    rows = [
+        (1, 'A good line with enough words here.\nshort\nAnother proper sentence ends well!'),
+        (2, "function f() { return 1; } and more words here to pass length"),
+        (3, "Lorem Ipsum dolor sit amet and then some other words"),
+        (4, "tiny doc"),
+        (5, "This document is perfectly ordinary prose with many words."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            T.c4_doc_filter(F.col("text")).alias("keep"),
+            T.c4_clean_lines(F.col("text")).alias("cleaned"),
+        ).collect()
+    }
+    assert out[1].keep and out[5].keep
+    assert not out[2].keep      # braces
+    assert not out[3].keep      # lorem ipsum (case-insensitive)
+    assert not out[4].keep      # < 5 words
+    # line cleaning drops the short/unterminated middle line
+    assert out[1].cleaned == (
+        "A good line with enough words here.\nAnother proper sentence ends well!"
+    )

@@ -103,6 +103,42 @@ def gopher_filter(
     )
 
 
+def c4_clean_lines(text: Column, min_line_words: int = 3) -> Column:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2, public
+    rule shape): keep only lines that end in terminal punctuation and
+    have at least ``min_line_words`` words; rejoin with newlines.
+    Pure Catalyst (filter over split lines)."""
+    lines = F.split(text, r"\n")
+    kept = F.filter(
+        lines,
+        lambda ln: ln.rlike(r"[.!?\"']\s*$")
+        & (F.size(F.filter(F.split(ln, r"\s+"), lambda w: w != "")) >= min_line_words),
+    )
+    return F.array_join(kept, "\n")
+
+
+def c4_doc_filter(
+    text: Column,
+    min_words: int = 5,
+    max_word_len: int = 1000,
+) -> Column:
+    """C4-style document gate: drop docs containing source-code braces,
+    the string 'lorem ipsum', any absurdly long token, or fewer than
+    ``min_words`` words.  Boolean keep/drop, pure Catalyst — composes
+    with ``gopher_filter`` as a pushed-down scan predicate."""
+    ws = words(text)
+    longest = F.when(
+        F.size(ws) > 0,
+        F.array_max(F.transform(ws, lambda w: F.length(w))),
+    ).otherwise(F.lit(0))
+    return (
+        (F.size(ws) >= min_words)
+        & ~F.lower(text).contains("lorem ipsum")
+        & ~text.contains("{")
+        & (longest <= max_word_len)
+    )
+
+
 def lang_scores(text: Column) -> Column:
     """Per-language stopword hit counts as a struct (heuristic lang-ID)."""
     ws = F.array_distinct(words(F.lower(text)))

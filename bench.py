@@ -257,6 +257,13 @@ def bench_queries(spark):
             )
         )
 
+    def q_pack_blocks_local():
+        # the shuffle-free variant: per-partition chunking, zero
+        # exchanges — contrast with q_pack_blocks' exact global chunk
+        from torchestra_spark.operators.sequences import pack_sequences_local
+
+        _noop(pack_sequences_local(toks.select("doc_id", "tokens"), "tokens", "doc_id", 2048))
+
     def q_sessionize_events():
         _noop(sessionize(ev, "user_id", ["ts", "event_id"], gap_sec=3600.0))
 
@@ -276,6 +283,7 @@ def bench_queries(spark):
         "simhash_dedup_tokens": q_simhash_dedup_tokens,
         "winnow_dedup_tokens": q_winnow_dedup_tokens,
         "pack_blocks": q_pack_blocks,
+        "pack_blocks_local": q_pack_blocks_local,
         "sessionize_events": q_sessionize_events,
     }
 

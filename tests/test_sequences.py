@@ -186,3 +186,24 @@ def test_pack_sequences_exact_and_bucket_invariant(spark):
                                     block_len=4,
                                     bucket=F.floor(F.col("doc_id") / 2)).collect()}
     assert out2 == out
+
+
+def test_pack_sequences_local_conserves_tokens(spark):
+    from collections import Counter
+
+    from torchestra_spark.operators.sequences import pack_sequences_local
+
+    rows = [(i, list(range(i * 10, i * 10 + (i % 7) + 1))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>").repartition(5)
+    out = pack_sequences_local(df, "tokens", "doc_id", block_len=16).collect()
+    # token conservation: every input token appears exactly once
+    got = Counter(t for r in out for t in r.tokens)
+    exp = Counter(t for _, ts in rows for t in ts)
+    assert got == exp
+    # at most one short block per partition; all others exactly block_len
+    short = [r for r in out if r.n_tok < 16]
+    assert len(short) <= 5
+    assert all(r.n_tok == 16 for r in out if r not in short)
+    # globally unique ids
+    ids = [r.block_id for r in out]
+    assert len(ids) == len(set(ids))

@@ -183,3 +183,32 @@ def test_stream_dedup_exact_bounded_state(spark, tmp_path):
     # one survivor per fingerprint group {1,2}, {3,4}, {5}
     assert len(kept) == 3
     assert kept[0] in (1, 2) and kept[1] in (3, 4) and kept[2] == 5
+
+
+def test_quality_filters_and_sampling_on_stream(spark, tmp_path):
+    # the text gates and deterministic sampling are stateless Catalyst
+    # predicates -> they apply to a streaming frame unchanged, and the
+    # streamed result equals the batch result row-for-row
+    from torchestra_spark.functions.sampling import deterministic_sample
+    from torchestra_spark.functions.text import c4_doc_filter, gopher_filter
+
+    rows = [
+        (i, "the quick brown foxes jumped over the fence and the hounds "
+            "chased them through that field today again")
+        for i in range(40)
+    ] + [(100 + i, "junk { code }") for i in range(10)]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    d = tmp_path / "docs_stream2"
+    batch.coalesce(1).write.parquet(str(d))
+    stream = spark.readStream.schema(batch.schema).parquet(str(d))
+
+    def gate(df):
+        kept = df.filter(gopher_filter(F.col("text")) & c4_doc_filter(F.col("text")))
+        return deterministic_sample(kept, "doc_id", 0.5, seed=4)
+
+    got = sorted(
+        r.doc_id for r in run_to_memory(gate(stream).select("doc_id"), "t_gate", spark).collect()
+    )
+    exp = sorted(r.doc_id for r in gate(batch).select("doc_id").collect())
+    assert got == exp and 0 < len(got) < 40
+    assert all(i < 100 for i in got)  # junk docs never pass

@@ -225,3 +225,68 @@ def pack_sequences(
         )
     )
     return blocks
+
+
+def pack_sequences_local(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str,
+    block_len: int,
+) -> DataFrame:
+    """Shuffle-FREE sequence packing: each partition concatenates its
+    own token stream and chunks it locally, carrying the remainder
+    across Arrow batches — zero exchanges, blocks never cross partition
+    boundaries (at most one short tail block per partition).
+
+    This is the 100 TB path: `pack_sequences` pays one row-per-token
+    shuffle for exact global chunking; here a 1000-partition corpus
+    wastes at most 1000 short blocks (~block_len tokens each) and moves
+    NOTHING.  Block ids are (partition id << 40) | local seq — globally
+    unique, stable for a fixed partitioning (repartition changes block
+    contents; use pack_sequences when blocks must be
+    partitioning-invariant).  Returns (block_id, tokens, n_tok)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    sel = df.select(F.col(tokens_col).alias("__t"))
+
+    def pack(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = pid << 40
+        seq = 0
+        rem = np.empty(0, dtype=np.int32)
+
+        def emit(blocks):
+            nonlocal seq
+            n = len(blocks)
+            flat = np.concatenate(blocks) if n else np.empty(0, np.int32)
+            lens = np.fromiter((len(b) for b in blocks), dtype=np.int32, count=n)
+            ids = base + seq + np.arange(n, dtype=np.int64)
+            seq += n
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.ListArray.from_arrays(
+                        pa.array(np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)),
+                        pa.array(flat, type=pa.int32()),
+                    ),
+                    pa.array(lens, type=pa.int32()),
+                ],
+                ["block_id", "tokens", "n_tok"],
+            )
+
+        for b in batches:
+            arr = b.column(0)
+            flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False).astype(np.int32)
+            buf = np.concatenate([rem, flat]) if len(rem) else flat
+            n_full = len(buf) // block_len
+            if n_full:
+                body = buf[: n_full * block_len].reshape(n_full, block_len)
+                yield emit(list(body))
+            rem = buf[n_full * block_len :]
+        if len(rem):
+            yield emit([rem])
+
+    return sel.mapInArrow(pack, "block_id bigint, tokens array<int>, n_tok int")

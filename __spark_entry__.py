@@ -684,6 +684,29 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs).select(F.col("id").alias("doc_id"), "cluster_id")
 
 
+def _q_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # vocabulary-free categorical encoding (hashing trick) in its
+    # SQL-replayable poly31 configuration; xxhash64 is the JVM default
+    from torchestra_spark.operators.lookups import HashBucket
+
+    doc = _t(spark, sf_dir, "documents")
+    hb = HashBucket(n_buckets=1024, seed=5, method="poly31")
+    return doc.select("doc_id", hb.expr(F.col("source")).alias("src_bucket"))
+
+
+def _q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # end-to-end cleaned corpus: winnow near-dup graph -> connected
+    # components -> drop every non-canonical member
+    from torchestra_spark.functions.dedup import dedup_clusters, winnow_near_dups
+
+    doc = _t(spark, sf_dir, "documents")
+    pairs = winnow_near_dups(doc, "text", "doc_id", k=5, w=4, min_shared=2, max_fp_freq=1000)
+    dups = dedup_clusters(pairs).filter(F.col("id") != F.col("cluster_id"))
+    return doc.join(
+        dups.select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
+    ).select("doc_id")
+
+
 def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minhash+LSH candidates + exact-Jaccard verify: output is exactly
     # {pairs: bigram jaccard >= 0.8} (LSH miss prob at r=4/bands=32 is
@@ -1246,6 +1269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint": _q_winnow_fingerprint,
         "winnow_near_dups": _q_winnow_near_dups,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_keep": _q_dedup_keep,
+        "hash_bucket": _q_hash_bucket,
         "minhash_dedup": _q_minhash_dedup,
         "simhash_tokens": _q_simhash_tokens,
         "pack_blocks": _q_pack_blocks,
@@ -1551,6 +1576,33 @@ def oracle_sql() -> dict[str, str]:
         # the pipeline are reproduced bit-exactly in SQL (splitmix64 via
         # 32-bit-split HUGEINT multiplies) — see _tokenized_oracle_sql
         "tokenized_pipeline": _tokenized_oracle_sql(2000, 42),
+"dedup_keep": f"""
+            WITH RECURSIVE {_winnow_fps_sql(5, 4)},
+            capped AS (SELECT * FROM fps
+                       QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 1000),
+            prs AS (
+              SELECT l.doc_id id_a, r.doc_id id_b
+              FROM capped l JOIN capped r ON l.fp = r.fp AND l.doc_id < r.doc_id
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+            edges AS (SELECT id_a a, id_b b FROM prs
+                      UNION SELECT id_b, id_a FROM prs),
+            nodes AS (SELECT DISTINCT a AS id FROM edges),
+            reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.a, rr.r FROM edges e JOIN reach rr ON e.b = rr.id),
+            dups AS (SELECT id FROM reach GROUP BY id HAVING id <> MIN(r))
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT id FROM dups)
+        """,
+        "hash_bucket": """
+            SELECT doc_id,
+                   CAST((list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                         list_transform(regexp_split_to_array(source, ''), c -> CAST(ascii(c) AS BIGINT))),
+                       (acc, x) -> (acc*31 + x) % 1000000007) + 5) % 1023 + 1 AS BIGINT) AS src_bucket
+            FROM documents
+        """,
         # winnowing: the whole sketch is WINNOW_MOD modular arithmetic,
         # replayed exactly by the CTE (incl. the fp-frequency cap)
         "winnow_fingerprint": f"""

@@ -269,3 +269,25 @@ def test_vocab_collect_cap(spark, monkeypatch):
         Pipeline({"c": Feature("cat", [CountLookup()])}).fit(df)
     # an eliminator that keeps it under the cap fits fine
     Pipeline({"c": Feature("cat", [CountLookup(TopK(5))])}).fit(df)
+
+
+def test_hash_bucket_vocabulary_free(spark):
+    from pyspark.sql import functions as F
+
+    from torchestra_spark.operators.lookups import HashBucket
+
+    rows = [(i, f"key{i}") for i in range(100)] + [(100, "key0"), (101, None)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    for method in ("xxhash64", "poly31"):
+        hb = HashBucket(n_buckets=4096, seed=3, method=method)
+        out = {r.id: r.b for r in df.select("id", hb.expr(F.col("k")).alias("b")).collect()}
+        assert out[100] == out[0], method           # same key -> same bucket
+        assert out[101] == 0, method                # NULL -> reserved 0
+        assert all(0 <= v <= 4095 for v in out.values()), method
+        # 100 distinct keys spread over 4095 buckets: expect ~99 distinct
+        assert len({out[i] for i in range(100)}) >= 90, method
+        # state round-trip
+        hb2 = HashBucket()
+        hb2.set_state(hb.get_state())
+        out2 = {r.id: r.b for r in df.select("id", hb2.expr(F.col("k")).alias("b")).collect()}
+        assert out2 == out

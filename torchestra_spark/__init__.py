@@ -48,6 +48,7 @@ from torchestra_spark.operators.wrappers import (
 )
 from torchestra_spark.operators.lookups import (
     CountLookup,
+    HashBucket,
     fused_lookups,
     RatioLookup,
     IndexLookup,
@@ -85,6 +86,7 @@ __all__ = [
     "cat",
     "split_to_cols",
     "CountLookup",
+    "HashBucket",
     "RatioLookup",
     "IndexLookup",
     "IntCountLookup",

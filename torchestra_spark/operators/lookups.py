@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from torchestra_spark.core import FitKind, FittedTransform
+from torchestra_spark.core import FitKind, FittedTransform, Transform
 
 
 def sort_counts(counts: Dict[str, int]) -> List[str]:
@@ -530,3 +530,49 @@ class IntIndexLookup(IndexLookup):
         self.unknown_idx = int(state["unknown_idx"])
         self.eliminator = eliminator_from_state(state["eliminator"])
         self._fitted = True
+
+
+class HashBucket(Transform):
+    """Vocabulary-FREE categorical encoding (the hashing trick):
+    ``bucket = hash(value) mod n_buckets``, with 0 reserved for NULL
+    (mirroring the lookups' reserved index 0).
+
+    The scale-first alternative to IndexLookup: no fit pass, no
+    vocabulary state, no driver collect — a 10^9-cardinality key column
+    encodes in one codegen'd expression, at the cost of hash collisions
+    (rate ~ cardinality / n_buckets, the standard trade-off).
+
+    ``method="xxhash64"`` (default) is JVM-side; ``method="poly31"``
+    uses the engine's SQL-expressible polynomial string hash
+    (functions/text.token_hash) so the DuckDB oracle can replay the
+    encoding bit-for-bit."""
+
+    input_kinds = ("string", "numeric")
+    output_kind = "numeric"
+
+    def __init__(self, n_buckets: int = 1 << 20, seed: int = 42, method: str = "xxhash64"):
+        if n_buckets < 2:
+            raise ValueError("n_buckets must be >= 2")
+        self.n_buckets = int(n_buckets)
+        self.seed = int(seed)
+        self.method = method
+
+    def expr(self, col: Column) -> Column:
+        if self.method == "xxhash64":
+            h = F.xxhash64(col, F.lit(self.seed))
+        elif self.method == "poly31":
+            from torchestra_spark.functions.text import token_hash
+
+            h = token_hash(col.cast("string")) + F.lit(self.seed)
+        else:
+            raise ValueError(f"unknown method {self.method!r}")
+        bucket = F.pmod(h, F.lit(self.n_buckets - 1)) + 1
+        return F.when(col.isNull(), F.lit(0)).otherwise(bucket).cast("long")
+
+    def get_state(self) -> Dict[str, Any]:
+        return {"n_buckets": self.n_buckets, "seed": self.seed, "method": self.method}
+
+    def set_state(self, state: Dict[str, Any]) -> None:
+        self.n_buckets = int(state["n_buckets"])
+        self.seed = int(state["seed"])
+        self.method = state.get("method", "xxhash64")

@@ -122,3 +122,31 @@ def test_ivf_partitioned_layout_prunes_scan(spark, tmp_path):
     assert "ivf_cell" in scan.split("PartitionFilters:")[1].split("PushedFilters")[0]
     # and the probe actually reads fewer rows than the table
     assert probed.count() < em.count()
+
+
+def test_local_packing_has_zero_exchanges(spark):
+    # the shuffle-free path must actually be shuffle-free
+    from torchestra_spark.operators.sequences import pack_sequences_local
+
+    df = spark.createDataFrame(
+        [(i, list(range(5))) for i in range(100)], "doc_id long, tokens array<int>"
+    ).repartition(4)
+    plan = _plan(pack_sequences_local(df, "tokens", "doc_id", 16))
+    import re
+
+    # the repartition(4) above is the input's own exchange; nothing in
+    # the packing plan may add another
+    assert len(re.findall(r"Exchange", plan)) <= 1
+    assert "mapInArrow" in plan or "MapInArrow" in plan or "ArrowEvalPython" not in plan
+
+
+def test_winnow_join_is_all_jvm(spark, tmp_path):
+    # the winnow near-dup pipeline: no Python eval stages anywhere
+    from torchestra_spark.functions.dedup import winnow_near_dups
+
+    df = spark.createDataFrame(
+        [(i, "some words repeated here again and again %d" % i) for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = _plan(winnow_near_dups(df, "text", "doc_id", k=3, w=4))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -613,6 +613,32 @@ def _q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc.select("doc_id", c4_doc_filter(F.col("text")).alias("keep"))
 
 
+def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the end-to-end curation flagship: Gopher + C4 quality gates ->
+    # winnow near-dup graph -> connected components -> drop
+    # non-canonical members -> per-source mixture sampling ->
+    # train/val/test split.  Every stage is a previously-oracled piece;
+    # the composite is replayed start-to-finish in ONE SQL statement.
+    from torchestra_spark.functions.dedup import dedup_clusters, winnow_near_dups
+    from torchestra_spark.functions.sampling import mixture_sample, split_assign
+    from torchestra_spark.functions.text import c4_doc_filter, gopher_filter
+
+    doc = _t(spark, sf_dir, "documents")
+    filt = doc.filter(gopher_filter(F.col("text")) & c4_doc_filter(F.col("text")))
+    pairs = winnow_near_dups(filt, "text", "doc_id", k=5, w=4, min_shared=2, max_fp_freq=1000)
+    dups = dedup_clusters(pairs).filter(F.col("id") != F.col("cluster_id"))
+    kept = filt.join(dups.select(F.col("id").alias("doc_id")), "doc_id", "left_anti")
+    sampled = mixture_sample(
+        kept, "doc_id", "source", {"src0": 1.0, "src1": 0.5}, seed=11,
+        default_rate=0.6, method="splitmix64",
+    )
+    return sampled.select(
+        "doc_id", "source",
+        split_assign(F.col("doc_id"), {"train": 0.9, "val": 0.05, "test": 0.05},
+                     seed=11, method="splitmix64"),
+    )
+
+
 def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # composite heuristic: rows-only (component ratios oracle-checked
     # separately; exact goldens in tests/test_text_dedup.py)
@@ -1183,7 +1209,75 @@ def _pack_blocks_oracle_sql(n_rows: int = 2000, seed: int = 42, block_len: int =
     )
 
 
-def _winnow_fps_sql(k: int = 5, w: int = 4) -> str:
+def _corpus_curation_oracle_sql(seed: int = 11) -> str:
+    """The full curation pipeline in ONE statement: quality gates ->
+    winnow dedup (recursive components) -> splitmix sampling/splits,
+    each fragment identical to its already-oracled standalone query."""
+    k1 = _sm_py((seed * 1_000_003 + 1) % _SM_M64)
+    k2 = _sm_py((seed * 1_000_003 + 2) % _SM_M64)
+    weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = float(sum(weights.values()))
+    acc, cases = 0.0, []
+    for name, wt in list(weights.items())[:-1]:
+        acc += wt / total
+        cases.append(f"WHEN Bu < {acc!r} THEN '{name}'")
+    case_split = " ".join(cases) + " ELSE 'test' END"
+    parts = [f"""WITH RECURSIVE gates AS (
+        SELECT doc_id, text, source,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS lws
+        FROM documents),
+    filt AS (
+        SELECT doc_id, text, source FROM gates
+        WHERE len(ws) >= 16 AND len(ws) <= 100000
+          AND len(ws) >= 5
+          AND (CASE WHEN len(ws) > 0
+                    THEN list_sum(list_transform(ws, x -> length(x))) * 1.0 / len(ws)
+                    ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+          AND len(list_filter(lws, x -> list_contains(
+              ['the','and','of','to','a','in','is','it','that','for'], x))) >= 2
+          AND (CASE WHEN len(lws) >= 3 THEN
+                 1.0 - len(list_distinct(list_transform(range(1, len(lws) - 1), i ->
+                       array_to_string(list_slice(lws, i, i + 2), ' ')))) * 1.0
+                     / greatest(len(lws) - 2, 1)
+               ELSE 0.0 END) < 0.2
+          AND NOT contains(lower(text), 'lorem ipsum')
+          AND NOT contains(text, '{{')
+          AND COALESCE(list_max(list_transform(ws, x -> length(x))), 0) <= 1000
+    )"""]
+    parts.append(_winnow_fps_sql(5, 4, rel="filt").strip().lstrip(","))
+    parts.append("""capped AS (SELECT * FROM fps
+               QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 1000),
+    prs AS (
+      SELECT l.doc_id id_a, r.doc_id id_b
+      FROM capped l JOIN capped r ON l.fp = r.fp AND l.doc_id < r.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    edges AS (SELECT id_a a, id_b b FROM prs UNION SELECT id_b, id_a FROM prs),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.a, rr.r FROM edges e JOIN reach rr ON e.b = rr.id),
+    dups AS (SELECT id FROM reach GROUP BY id HAVING id <> MIN(r)),
+    kept AS (SELECT doc_id, source FROM filt
+             WHERE doc_id NOT IN (SELECT id FROM dups))""")
+    sample_parts = []
+    prev = "kept"
+    for p, key in (("A", k1), ("B", k2)):
+        for col, e in _sm_cols(f"xor(CAST(doc_id AS UBIGINT), CAST({key} AS UBIGINT))", p):
+            sample_parts.append(f"{col} AS (SELECT *, {e} AS {col} FROM {prev})")
+            prev = col
+    return (
+        ",\n".join(parts + sample_parts)
+        + f"""
+    SELECT doc_id, source, CASE {case_split} AS split
+    FROM {prev}
+    WHERE Au < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 ELSE 0.6 END)
+    """
+    )
+
+
+def _winnow_fps_sql(k: int = 5, w: int = 4, rel: str = "documents") -> str:
     """DuckDB CTE body replaying torchestra_spark.functions.text.
     winnow_fingerprints exactly: polynomial token hash (acc*31+ascii
     mod 1e9+7), seeded k-gram fold, per-w-window min, distinct."""
@@ -1197,7 +1291,7 @@ def _winnow_fps_sql(k: int = 5, w: int = 4) -> str:
                     list_prepend(CAST(0 AS BIGINT),
                       list_transform(regexp_split_to_array(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
                     (acc, x) -> (acc*31 + x) % {M})) hs
-              FROM documents),
+              FROM {rel}),
             grams AS (
               SELECT doc_id,
                 CASE WHEN len(hs) >= {k} THEN
@@ -1260,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
         "mixture_sample": _q_mixture_sample,
+        "corpus_curation": _q_corpus_curation,
         "repetition_ratio": _q_repetition_ratio,
         "gopher_filter": _q_gopher_filter,
         "c4_filter": _q_c4_filter,
@@ -1843,6 +1938,7 @@ def oracle_sql() -> dict[str, str]:
         # quality_score composes the four already-oracled component
         # expressions with identical fp evaluation order
         "mixture_sample": _mixture_sample_oracle_sql(7),
+        "corpus_curation": _corpus_curation_oracle_sql(11),
         "repetition_ratio": """
             WITH w AS (
                 SELECT doc_id,

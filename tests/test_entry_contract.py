@@ -54,5 +54,5 @@ def test_oracle_sql_references_known_views():
 def test_substantial_coverage():
     # the judge checks SURVEY §2 coverage; keep the bar explicit
     qs = E.queries()
-    assert len(qs) >= 66
+    assert len(qs) >= 67
     assert len(E.oracle_sql()) >= 48

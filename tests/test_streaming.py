@@ -212,3 +212,19 @@ def test_quality_filters_and_sampling_on_stream(spark, tmp_path):
     exp = sorted(r.doc_id for r in gate(batch).select("doc_id").collect())
     assert got == exp and 0 < len(got) < 40
     assert all(i < 100 for i in got)  # junk docs never pass
+
+
+def test_simhash_sketch_on_stream_matches_batch(spark, tmp_path):
+    # the mapInArrow sketch is stateless -> valid on streams; the
+    # streamed sketch table equals the batch sketch bit-for-bit
+    from torchestra_spark.functions.dedup import simhash_tokens
+
+    rows = [(i, [j * 7 + i for j in range(1 + i % 9)]) for i in range(300)]
+    batch = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    d = tmp_path / "tok_stream"
+    batch.coalesce(2).write.parquet(str(d))
+    stream = spark.readStream.schema(batch.schema).parquet(str(d))
+    got = run_to_memory(simhash_tokens(stream, "tokens", "doc_id"), "t_sketch", spark)
+    gp = {r.doc_id: r.simhash for r in got.collect()}
+    ep = {r.doc_id: r.simhash for r in simhash_tokens(batch, "tokens", "doc_id").collect()}
+    assert gp == ep and len(gp) == 300

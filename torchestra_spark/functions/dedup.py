@@ -69,6 +69,11 @@ def _ensure_parallelism(df: DataFrame, min_parallelism: Optional[int] = None) ->
     at 100 TB scale, where scans already carry >> cores partitions, and
     a 1-to-N text shuffle (cheaper than the sketch it unblocks) on
     small tables."""
+    if df.isStreaming:
+        # micro-batch partitioning is the source's business (and .rdd
+        # is illegal on a streaming frame) — sketches are stateless, so
+        # they run per micro-batch as-is
+        return df
     spark = df.sparkSession
     target = min_parallelism or spark.sparkContext.defaultParallelism
     if target and df.rdd.getNumPartitions() < target:

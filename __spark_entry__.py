@@ -857,7 +857,7 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from torchestra_spark.functions.similarity import ivf_topk, train_ivf_centroids
 
     em = _t(spark, sf_dir, "embeddings")
-    C = train_ivf_centroids(em, "embedding", n_centroids=8, sample=2000, seed=3)
+    C = train_ivf_centroids(em, "embedding", n_centroids=8, sample=2000, seed=3, order_col="vec_id")
     q = em.orderBy("vec_id").first()["embedding"]
     # n_probes == n_centroids probes every cell -> exact top-k, oracled
     # against brute-force cosine SQL; cell-pruned recall is pytest-covered
@@ -888,7 +888,7 @@ def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     em = _t(spark, sf_dir, "embeddings")
     q = em.orderBy("vec_id").first()["embedding"]
-    books = train_pq(em, "embedding", m=8, ks=50_000, sample=50_000, iters=0)
+    books = train_pq(em, "embedding", m=8, ks=50_000, sample=50_000, iters=0, order_col="vec_id")
     codes = pq_encode(em.select("vec_id", "embedding"), "embedding", books)
     out = pq_topk(codes, books, q, k=10)
     return out.select("vec_id", F.round("pq_dist", 6).alias("pq_dist"))

@@ -262,7 +262,7 @@ def bench_queries(spark):
         # exchanges — contrast with q_pack_blocks' exact global chunk
         from torchestra_spark.operators.sequences import pack_sequences_local
 
-        _noop(pack_sequences_local(toks.select("doc_id", "tokens"), "tokens", "doc_id", 2048))
+        _noop(pack_sequences_local(toks.select("tokens"), "tokens", 2048))
 
     def q_sessionize_events():
         _noop(sessionize(ev, "user_id", ["ts", "event_id"], gap_sec=3600.0))

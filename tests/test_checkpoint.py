@@ -178,3 +178,47 @@ def test_snapshot_store_time_travel_and_expire(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError):
         st.load(spark, 0)  # expired snapshot is gone
+
+
+def test_snapshot_store_retry_and_removed_partitions(spark, tmp_path):
+    import os
+    import shutil
+    import pandas as pd
+    import pytest as _pt
+
+    from torchestra_spark.checkpoint import SnapshotStore
+
+    inp = str(tmp_path / "in")
+    outp = str(tmp_path / "out")
+    d1 = pd.DataFrame({"ds": ["d1"] * 2 + ["d2"] * 2, "x": [1.0, 2, 3, 4]})
+    spark.createDataFrame(d1).write.partitionBy("ds").parquet(inp)
+    st = SnapshotStore(inp, outp, "ds")
+    assert st.refresh(spark) == ["d1", "d2"]
+
+    # simulate a crash between data write and snapshot commit: leftover
+    # uncommitted ver=1 data must NOT be double-counted by the retry
+    spark.createDataFrame(
+        pd.DataFrame({"ds": ["d2"], "x": [99.0]})
+    ).write.mode("overwrite").parquet(os.path.join(inp, "ds=d2"))
+    os.makedirs(os.path.join(outp, "ds=d2", "ver=1"), exist_ok=True)
+    spark.createDataFrame(pd.DataFrame({"x": [99.0]})).write.mode("overwrite").parquet(
+        os.path.join(outp, "ds=d2", "ver=1")
+    )
+    assert st.refresh(spark) == ["d2"]  # the "retry"
+    cur = {r["ds"]: r["sum(x)"] for r in st.load(spark).groupBy("ds").sum("x").collect()}
+    assert cur == {"d1": 3.0, "d2": 99.0}  # exactly one copy
+
+    # deleting an input partition unpins it in the NEXT snapshot while
+    # older snapshots still time-travel to it
+    shutil.rmtree(os.path.join(inp, "ds=d1"))
+    assert st.refresh(spark) == []  # nothing rewritten...
+    assert st.current()["removed"] == ["d1"]
+    assert {r["ds"] for r in st.load(spark).select("ds").distinct().collect()} == {"d2"}
+    assert {r["ds"] for r in st.load(spark, 1).select("ds").distinct().collect()} == {"d1", "d2"}
+
+    # unsafe partition values are rejected up front
+    spark.createDataFrame(pd.DataFrame({"ds": ["bad value"], "x": [1.0]})).write.mode(
+        "append"
+    ).partitionBy("ds").parquet(inp)
+    with _pt.raises(ValueError, match="escaping"):
+        st.refresh(spark)

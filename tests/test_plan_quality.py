@@ -131,7 +131,7 @@ def test_local_packing_has_zero_exchanges(spark):
     df = spark.createDataFrame(
         [(i, list(range(5))) for i in range(100)], "doc_id long, tokens array<int>"
     ).repartition(4)
-    plan = _plan(pack_sequences_local(df, "tokens", "doc_id", 16))
+    plan = _plan(pack_sequences_local(df, "tokens", 16))
     import re
 
     # the repartition(4) above is the input's own exchange; nothing in

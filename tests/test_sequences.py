@@ -195,7 +195,7 @@ def test_pack_sequences_local_conserves_tokens(spark):
 
     rows = [(i, list(range(i * 10, i * 10 + (i % 7) + 1))) for i in range(200)]
     df = spark.createDataFrame(rows, "doc_id long, tokens array<int>").repartition(5)
-    out = pack_sequences_local(df, "tokens", "doc_id", block_len=16).collect()
+    out = pack_sequences_local(df, "tokens", block_len=16).collect()
     # token conservation: every input token appears exactly once
     got = Counter(t for r in out for t in r.tokens)
     exp = Counter(t for _, ts in rows for t in ts)

@@ -357,37 +357,69 @@ class SnapshotStore:
         return dict(snap["fingerprints"]) if snap else {}
 
     # -------------------------------------------------------------- refresh
+    def _drop_version_dirs(self, snap_id: int) -> None:
+        """Remove leftover ver=<snap_id> directories from a refresh that
+        crashed between data write and snapshot commit — snap_id is not
+        referenced by any committed snapshot, so this only ever deletes
+        uncommitted data (a retried refresh would otherwise append a
+        SECOND copy into the same directories and commit duplicates)."""
+        import shutil
+
+        prefix = f"{self.partition_col}="
+        if os.path.isdir(self.output_path):
+            for d in os.listdir(self.output_path):
+                if d.startswith(prefix):
+                    vd = os.path.join(self.output_path, d, f"ver={snap_id}")
+                    if os.path.isdir(vd):
+                        shutil.rmtree(vd)
+
     def refresh(self, spark: SparkSession, transform=None) -> List[str]:
         """Write new/changed input partitions as a new version and
-        commit the next snapshot.  Returns refreshed partition values
-        ([] = input unchanged; no snapshot is committed)."""
+        commit the next snapshot.  Input partitions DELETED since the
+        last snapshot are unpinned from the new snapshot (their data
+        files stay, so older snapshots still time-travel to them).
+        Returns refreshed partition values ([] = input unchanged; no
+        snapshot is committed)."""
         cur = self.current()
         fps = self._inner._input_partitions()
+        for v in fps:
+            # partition values become directory names; Spark escapes
+            # specials (space, ':', '%'), which would break the
+            # name-vs-column comparisons below — require safe values
+            if not all(c.isalnum() or c in "-._" for c in v):
+                raise ValueError(
+                    f"partition value {v!r} needs path escaping; use "
+                    "alphanumeric/-/._ values (e.g. ds=2026-08-16)"
+                )
         pinned_fps = self._fingerprints_of(cur)
         changed = [v for v, fp in fps.items() if pinned_fps.get(v) != fp]
-        if not changed:
+        removed = [v for v in (cur["pins"] if cur else {}) if v not in fps]
+        if not changed and not removed:
             return []
         snap_id = (cur["id"] + 1) if cur else 0
-        src = spark.read.parquet(self.input_path).filter(
-            F.col(self.partition_col).isin(changed)
-        )
-        out = transform(src) if transform is not None else src
-        out = out.withColumn("ver", F.lit(snap_id))
-        # append-only: ver=<snap_id> directories are new, nothing of any
-        # committed snapshot is touched
-        out.write.mode("append").partitionBy(self.partition_col, "ver").parquet(
-            self.output_path
-        )
-        pins = dict(cur["pins"]) if cur else {}
-        fingerprints = dict(pinned_fps)
-        for v in changed:
-            pins[v] = snap_id
-            fingerprints[v] = fps[v]
+        pins = {v: p for v, p in (cur["pins"] if cur else {}).items() if v in fps}
+        fingerprints = {v: f for v, f in pinned_fps.items() if v in fps}
+        if changed:
+            self._drop_version_dirs(snap_id)  # crash-retry hygiene
+            src = spark.read.parquet(self.input_path).filter(
+                F.col(self.partition_col).isin(changed)
+            )
+            out = transform(src) if transform is not None else src
+            out = out.withColumn("ver", F.lit(snap_id))
+            # append-only: ver=<snap_id> directories are new, nothing of
+            # any committed snapshot is touched
+            out.write.mode("append").partitionBy(self.partition_col, "ver").parquet(
+                self.output_path
+            )
+            for v in changed:
+                pins[v] = snap_id
+                fingerprints[v] = fps[v]
         rec = {
             "id": snap_id,
             "parent": cur["id"] if cur else None,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "refreshed": sorted(changed),
+            "removed": sorted(removed),
             "pins": pins,
             "fingerprints": fingerprints,
         }

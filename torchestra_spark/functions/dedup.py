@@ -25,10 +25,9 @@ Scale design:
 
 from __future__ import annotations
 
-from typing import Iterator, Optional
+from typing import Optional
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -367,7 +366,7 @@ def _segmented_sketch_arrow(
 
     def run(batches):
         for b in batches:
-            arr = b.column(1)
+            arr = b.column(b.schema.get_field_index(arr_field))
             lens_arr = pc.list_value_length(arr)
             if lens_arr.null_count:
                 lens_arr = pc.fill_null(lens_arr, 0)

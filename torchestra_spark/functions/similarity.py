@@ -240,16 +240,25 @@ def train_ivf_centroids(
     sample: int = 10_000,
     iters: int = 10,
     seed: int = 42,
+    order_col: Optional[str] = None,
 ) -> np.ndarray:
     """Train an IVF coarse quantizer: k-means (Lloyd's, deterministic
     seed) over a bounded sample collected to the driver — the classic
     two-stage pattern: train small, assign at scale."""
-    pdf = df.select(vec_col).limit(sample).toPandas()
+    if order_col is not None:
+        # deterministic sample: a bare limit() takes whatever partitions
+        # answer first — order by a key so reruns train the same model
+        sel = df.select(order_col, vec_col).orderBy(order_col).limit(sample).select(vec_col)
+    else:
+        sel = df.select(vec_col).limit(sample)
+    pdf = sel.toPandas()
     X = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
     rng = np.random.RandomState(seed)
     C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)].copy()
     for _ in range(iters):
-        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        # argmin ||x-c||^2 = argmin(c.c - 2 x.c): O(n*k) memory, no
+        # (n, k, d) difference tensor
+        d = (C**2).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
         assign = d.argmin(axis=1)
         for j in range(len(C)):
             members = X[assign == j]
@@ -486,13 +495,18 @@ def train_pq(
     sample: int = 10_000,
     iters: int = 10,
     seed: int = 42,
+    order_col: Optional[str] = None,
 ) -> np.ndarray:
     """Train product-quantization codebooks: split each vector into m
     contiguous subvectors and run k-means (Lloyd's, deterministic seed)
     per subspace over a bounded driver-side sample — the same
     train-small/encode-at-scale pattern as IVF.  Returns codebooks of
     shape (m, ks, d/m); d must be divisible by m."""
-    pdf = df.select(vec_col).limit(sample).toPandas()
+    if order_col is not None:
+        sel = df.select(order_col, vec_col).orderBy(order_col).limit(sample).select(vec_col)
+    else:
+        sel = df.select(vec_col).limit(sample)
+    pdf = sel.toPandas()
     X = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
     d = X.shape[1]
     if d % m:
@@ -504,7 +518,8 @@ def train_pq(
         Xs = X[:, j * sub : (j + 1) * sub]
         C = Xs[rng.choice(len(Xs), size=min(ks, len(Xs)), replace=False)].copy()
         for _ in range(iters):
-            dist = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # O(n*ks) memory (matmul trick), not an (n, ks, sub) tensor
+            dist = (C**2).sum(axis=1)[None, :] - 2.0 * (Xs @ C.T)
             assign = dist.argmin(axis=1)
             for c in range(len(C)):
                 members = Xs[assign == c]

@@ -534,8 +534,10 @@ class IntIndexLookup(IndexLookup):
 
 class HashBucket(Transform):
     """Vocabulary-FREE categorical encoding (the hashing trick):
-    ``bucket = hash(value) mod n_buckets``, with 0 reserved for NULL
-    (mirroring the lookups' reserved index 0).
+    ``bucket = hash(value) mod (n_buckets - 1) + 1`` — index 0 is
+    reserved for NULL (mirroring the lookups' reserved index 0), so
+    non-null keys spread over n_buckets - 1 buckets and the output
+    domain is exactly [0, n_buckets).
 
     The scale-first alternative to IndexLookup: no fit pass, no
     vocabulary state, no driver collect — a 10^9-cardinality key column

@@ -203,7 +203,15 @@ def pack_sequences(
         bases[b] = acc
         acc += n or 0
     base_map = F.create_map(*[F.lit(x) for kv in bases.items() for x in kv])
-    w = Window.partitionBy("__b").orderBy("__id")
+    # explicit ROWS frame: the default RANGE frame aggregates ORDER BY
+    # ties together, so duplicate ids would get overlapping positions
+    # and corrupt blocks silently.  With ROWS, ties get disjoint (but
+    # order-arbitrary) ranges — ids are expected unique per row.
+    w = (
+        Window.partitionBy("__b")
+        .orderBy("__id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     off = F.sum(F.size("__t")).over(w) - F.size("__t")
     d2 = d.withColumn("__off", base_map[F.col("__b")] + off)
     ex = d2.select("__off", F.posexplode("__t").alias("__i", "__tok")).select(
@@ -230,7 +238,6 @@ def pack_sequences(
 def pack_sequences_local(
     df: DataFrame,
     tokens_col: str,
-    id_col: str,
     block_len: int,
 ) -> DataFrame:
     """Shuffle-FREE sequence packing: each partition concatenates its

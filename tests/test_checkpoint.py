@@ -179,6 +179,23 @@ def test_snapshot_store_time_travel_and_expire(spark, tmp_path):
     with _pt.raises(ValueError):
         st.load(spark, 0)  # expired snapshot is gone
 
+    # in-flight refresh protection: a ver dir NEWER than the last
+    # committed snapshot (written but not yet committed) must survive
+    # an expire that does real work (snapshot 2 makes snapshot 1 drop)
+    import shutil as _sh
+
+    import pandas as _pd
+    spark.createDataFrame(
+        _pd.DataFrame({"ds": ["d2"] * 2, "x": [7.0, 8.0]})
+    ).write.mode("overwrite").parquet(os.path.join(inp, "ds=d2"))
+    assert st.refresh(spark) == ["d2"]                # snapshot 2
+    inflight = os.path.join(outp, "ds=d1", "ver=99")
+    os.makedirs(inflight)
+    removed2 = st.expire(keep_last=1)
+    assert "ds=d2/ver=1" in removed2
+    assert os.path.isdir(inflight)
+    _sh.rmtree(inflight)
+
 
 def test_snapshot_store_retry_and_removed_partitions(spark, tmp_path):
     import os

@@ -188,6 +188,44 @@ def test_pack_sequences_exact_and_bucket_invariant(spark):
     assert out2 == out
 
 
+def test_pack_sequences_auto_bucket_parallel_and_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from torchestra_spark.operators.sequences import _range_bucket, pack_sequences
+
+    rows = [(i, [i * 3, i * 3 + 1, i * 3 + 2]) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>").repartition(8)
+    # the derived bucket must actually spread the prefix-sum window: the
+    # serial default (lit(0)) was the r3 scale footgun
+    nb = min(256, 2 * spark.sparkContext.defaultParallelism)
+    n_buckets = df.select(_range_bucket(df, "doc_id", nb).alias("b")).distinct().count()
+    assert n_buckets > 4
+    # and it must be order-preserving: auto == explicit serial bucket
+    auto = {r.block_id: list(r.tokens)
+            for r in pack_sequences(df, "tokens", "doc_id", block_len=7).collect()}
+    serial = {r.block_id: list(r.tokens)
+              for r in pack_sequences(df, "tokens", "doc_id", block_len=7,
+                                      bucket=F.lit(0)).collect()}
+    assert auto == serial
+    # string ids range-bucket too (binary collation matches orderBy)
+    sdf = df.select(F.format_string("doc%05d", "doc_id").alias("doc_id"), "tokens")
+    auto_s = {r.block_id: list(r.tokens)
+              for r in pack_sequences(sdf, "tokens", "doc_id", block_len=7).collect()}
+    assert auto_s == auto
+    n_buckets_s = sdf.select(_range_bucket(sdf, "doc_id", nb).alias("b")).distinct().count()
+    assert n_buckets_s > 4
+
+
+def test_pack_sequences_empty_input(spark):
+    from torchestra_spark.operators.sequences import pack_sequences
+
+    df = spark.createDataFrame([], "doc_id long, tokens array<int>")
+    out = pack_sequences(df, "tokens", "doc_id", block_len=4)
+    assert out.schema.simpleString() == \
+        "struct<block_id:bigint,tokens:array<int>,n_tok:int>"
+    assert out.count() == 0
+
+
 def test_pack_sequences_local_conserves_tokens(spark):
     from collections import Counter
 

@@ -711,6 +711,25 @@ def test_dedup_clusters_chain_and_star(spark):
     assert sorted(keepers) == [1, 10, 20]
 
 
+def test_dedup_clusters_raises_when_not_converged(spark):
+    # chain 1-2-3-4-5 has diameter 4; 2 hash-min rounds can't finish
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.dedup_clusters(pdf, max_iter=2)
+
+
+def test_pq_encode_vector_only_input(spark, embs):
+    # no passthrough columns: the mapInArrow schema must still parse
+    from torchestra_spark.functions import similarity as SIM
+
+    books = SIM.train_pq(embs, "embedding", m=8, ks=16, sample=200, iters=2)
+    out = SIM.pq_encode(embs.select("embedding"), "embedding", books)
+    rows = out.limit(5).collect()
+    assert out.columns == ["pq_code"]
+    assert all(len(r.pq_code) == 8 for r in rows)
+
+
 def test_deterministic_sampling_partition_invariant(spark):
     from torchestra_spark.functions import sampling as SM
 

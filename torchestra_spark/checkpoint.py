@@ -330,6 +330,15 @@ class SnapshotStore:
     append-only so a failed refresh never corrupts a committed
     snapshot.  At cluster scale the JSON lives on the shared store and
     the pin predicate is built driver-side from KBs of metadata.
+
+    Assumptions (document them because the failure mode is silent):
+    ONE writer at a time — refresh/expire are not mutually safe across
+    processes (expire does skip ver dirs newer than the last committed
+    snapshot, so maintenance beside one in-flight refresh is fine, but
+    two concurrent refreshes can still interleave version numbers); and
+    a POSIX-semantics filesystem (atomic ``os.replace``, directory
+    listing) — NFS/local/POSIX-mounted stores, not bare object stores
+    (S3 needs an Iceberg/Delta-style commit service instead).
     """
 
     def __init__(self, input_path: str, output_path: str, partition_col: str):
@@ -456,7 +465,13 @@ class SnapshotStore:
     def expire(self, keep_last: int = 1) -> List[str]:
         """Drop all but the last ``keep_last`` snapshots and delete
         version directories no retained snapshot pins (data files of
-        retained snapshots are never touched)."""
+        retained snapshots are never touched).
+
+        Version directories NEWER than the latest committed snapshot
+        are left alone: they belong to an in-flight refresh that has
+        written ver=N but not yet committed its snapshot JSON — the one
+        concurrent shape (maintenance alongside a refresh) the
+        single-writer model still allows."""
         import shutil
 
         snaps = self.snapshots()
@@ -464,6 +479,7 @@ class SnapshotStore:
             return []
         drop, keep = snaps[:-keep_last], snaps[-keep_last:]
         live = {(v, ver) for s in keep for v, ver in s["pins"].items()}
+        latest = snaps[-1]["id"]
         removed = []
         prefix = f"{self.partition_col}="
         if os.path.isdir(self.output_path):
@@ -475,6 +491,8 @@ class SnapshotStore:
                 for vd in os.listdir(part_dir):
                     if vd.startswith("ver="):
                         ver = int(vd[len("ver="):])
+                        if ver > latest:
+                            continue  # uncommitted in-flight refresh
                         if (pv, ver) not in live:
                             shutil.rmtree(os.path.join(part_dir, vd))
                             removed.append(f"{d}/{vd}")

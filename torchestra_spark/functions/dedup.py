@@ -664,7 +664,10 @@ def dedup_clusters(
     iteration, and the edge list is checkpointed once and reused.  The
     driver-side loop holds only a changed-row COUNT, never data.
     Exact: converged hash-min equals min-reachable-id (the recursive
-    SQL oracle's definition).
+    SQL oracle's definition).  If ``max_iter`` rounds pass without
+    convergence (a component with diameter > max_iter — e.g. a long
+    chain), the labels would silently violate that contract, so the
+    loop RAISES instead of returning them.
     """
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = (
@@ -678,6 +681,7 @@ def dedup_clusters(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(
@@ -703,5 +707,11 @@ def dedup_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds "
+            f"(a component has diameter > {max_iter}); raise max_iter"
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))

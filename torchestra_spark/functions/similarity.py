@@ -544,7 +544,14 @@ def pq_encode(
     m, ks, sub = B.shape
     other = [f.name for f in df.schema.fields if f.name != vec_col]
     sel = df.select(*other, F.col(vec_col).alias("__v"))
-    out_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields if f.name != vec_col)
+    # joined as a list so a vector-only input (no passthrough columns)
+    # doesn't produce a leading-comma schema string
+    parts = [
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != vec_col
+    ]
+    out_schema = ", ".join(parts + [f"{out_col} array<int>"])
 
     def encode(batches):
         for b in batches:
@@ -566,7 +573,7 @@ def pq_encode(
             names = [nm for nm in b.schema.names if nm != "__v"]
             yield pa.RecordBatch.from_arrays(cols + [code_arr], names + [out_col])
 
-    return sel.mapInArrow(encode, f"{out_fields}, {out_col} array<int>")
+    return sel.mapInArrow(encode, out_schema)
 
 
 def pq_topk(

@@ -157,6 +157,38 @@ def with_offsets(df: DataFrame, array_col: str, order_col: str) -> DataFrame:
     return df.withColumn("begin", begin).withColumn("end", begin + F.size(array_col))
 
 
+def _range_bucket(df: DataFrame, id_col: str, nb: int) -> Column:
+    """Order-preserving range bucketing of ``id_col`` into ~``nb``
+    buckets: a deterministic hash-gated sample of ids picks nb-1
+    splitters (quantile-ish, so skewed id distributions still spread),
+    and the bucket is the count of splitters <= id — monotone in the
+    id, so packing output stays identical to any other order-preserving
+    bucketing (and to the serial one-bucket plan).
+
+    Partition-invariant and rerun-stable: the sample gate is
+    ``xxhash64(id) % mod == 0`` — a pure function of the id value.
+    Costs one count + one bounded collect (~32*nb ids) before the
+    totals pre-pass; pass an explicit ``bucket`` to skip it."""
+    n = df.count()
+    if n == 0:
+        return F.lit(0)
+    c = F.col(id_col)
+    mod = max(1, n // max(1, nb * 32))
+    rows = (
+        df.where(F.pmod(F.xxhash64(c.cast("string")), F.lit(mod)) == 0)
+        .select(c.alias("__s"))
+        .collect()
+    )
+    ids = sorted({r["__s"] for r in rows if r["__s"] is not None})
+    if len(ids) < 2:
+        return F.lit(0)
+    splitters = sorted({ids[(i * len(ids)) // nb] for i in range(1, nb)})
+    b = F.lit(0).cast("long")
+    for s in splitters:
+        b = b + (c >= F.lit(s)).cast("long")
+    return b
+
+
 def pack_sequences(
     df: DataFrame,
     tokens_col: str,
@@ -172,9 +204,12 @@ def pack_sequences(
     Distributed prefix-sum in two phases, no global sort:
 
     1. rows are grouped by an ORDER-PRESERVING ``bucket`` expression
-       over the id (default: one bucket — correct but serial; at scale
-       pass e.g. ``F.floor(numeric_id * NB / n_rows)`` or a date
-       prefix).  One tiny aggregate (per-bucket token totals, NB rows)
+       over the id.  By default one is DERIVED automatically
+       (``_range_bucket``: sampled splitters -> ~2x-parallelism range
+       buckets), so the prefix-sum window below is parallel out of the
+       box; pass ``bucket`` explicitly (e.g. ``F.floor(numeric_id * NB
+       / n_rows)`` or a date prefix) to skip the sampling pre-pass.
+       One tiny aggregate (per-bucket token totals, NB rows)
        is cumulated on the driver into per-bucket base offsets.
     2. a window prefix-sum WITHIN each bucket + the broadcast base
        gives every document its absolute start; posexplode assigns each
@@ -189,7 +224,10 @@ def pack_sequences(
     for the final reassembly (the unavoidable cost of exact global
     chunking; per-shard packing avoids it when block provenance may
     stay local)."""
-    bkt = (bucket if bucket is not None else F.lit(0)).cast("long")
+    if bucket is None:
+        nb = min(256, 2 * df.sparkSession.sparkContext.defaultParallelism)
+        bucket = _range_bucket(df, id_col, nb)
+    bkt = bucket.cast("long")
     d = df.select(
         bkt.alias("__b"),
         F.col(id_col).alias("__id"),
@@ -202,6 +240,13 @@ def pack_sequences(
     for b, n in sorted((r["__b"], r["__n"]) for r in totals):
         bases[b] = acc
         acc += n or 0
+    if not bases:
+        # empty input: F.create_map() would be map<void,void> and fail
+        # analysis on the bigint lookup — return the empty output frame
+        elem = df.schema[tokens_col].dataType.elementType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"block_id bigint, tokens array<{elem}>, n_tok int"
+        )
     base_map = F.create_map(*[F.lit(x) for kv in bases.items() for x in kv])
     # explicit ROWS frame: the default RANGE frame aggregates ORDER BY
     # ties together, so duplicate ids would get overlapping positions

@@ -150,12 +150,23 @@ def _q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_tdigest_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # t-digest cdf (QuantileBin): rows-only check; pytest asserts
-    # atol 1e-2 vs exact ranks (tests/test_scalers.py)
+    # t-digest cdf (QuantileBin): the sketch's documented tolerance
+    # (|cdf(x) - exact pct rank| <= 1e-2, tests/test_scalers.py) turned
+    # into a CHECKED invariant — the query returns the count of rows
+    # violating it, the oracle expects exactly 0, so the row hashes.
+    # Exact rank = pandas rank(pct=True): (min rank + (ties-1)/2) / n,
+    # a global window — fine for a verification query at gate scale.
+    from pyspark.sql import Window
+
     ev = _t(spark, sf_dir, "events")
     pipe = Pipeline({"value_q": Feature("value", [TDigestDistribution()])})
     out = pipe.fit_transform(ev)
-    return out.select("event_id", F.col("value_q"))
+    n = F.count(F.lit(1)).over(Window.partitionBy())
+    rank_min = F.rank().over(Window.orderBy("value"))
+    ties = F.count(F.lit(1)).over(Window.partitionBy("value"))
+    pct = (rank_min + (ties - F.lit(1)) / 2.0) / n
+    viol = out.select(((F.abs(F.col("value_q") - pct)) > 0.01).cast("long").alias("__v"))
+    return viol.agg(F.sum("__v").alias("violations"))
 
 
 def _q_fit_update_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -757,11 +768,10 @@ def _q_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from torchestra_spark.io.sources import tokenized_sequences
 
     toks = tokenized_sequences(spark, 2000, seed=42, partitions=8)
-    nid = F.substring("doc_id", 4, 10).cast("long")
-    blocks = pack_sequences(
-        toks, "tokens", "doc_id", block_len=128,
-        bucket=F.floor(nid * 8 / 2000),
-    )
+    # no explicit bucket: exercises the auto-derived range bucket (the
+    # r4 scale-safe default) — output is bucket-invariant, so the SQL
+    # oracle is unchanged
+    blocks = pack_sequences(toks, "tokens", "doc_id", block_len=128)
     return blocks.select(
         "block_id",
         "n_tok",
@@ -1310,58 +1320,60 @@ def _winnow_fps_sql(k: int = 5, w: int = 4, rel: str = "documents") -> str:
     """
 
 
+def _q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SnapshotStore (checkpoint.py) under the driver gate: commit
+    snapshot 0 from a deterministic subset of orders (even keys),
+    rewrite ONE input partition with ALL keys, commit snapshot 1, then
+    read AS OF snapshot 0 — partition pruning must select exactly the
+    pinned version dirs, so the result equals the original subset,
+    which the DuckDB oracle recomputes straight from orders."""
+    import os
+    import shutil
+    import tempfile
+
+    from torchestra_spark.checkpoint import SnapshotStore
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    work = os.path.join(tempfile.gettempdir(), f"ts_snapgate_{tag}")
+    shutil.rmtree(work, ignore_errors=True)
+    inp, outp = os.path.join(work, "in"), os.path.join(work, "out")
+    orders = _t(spark, sf_dir, "orders")
+    # partition on the priority's leading digit: SnapshotStore rejects
+    # values needing hive path escaping ('4-NOT SPECIFIED' has a space)
+    prio = F.substring("o_orderpriority", 1, 1)
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", prio.alias("prio")
+    )
+    v1.write.partitionBy("prio").parquet(inp)
+    st = SnapshotStore(inp, outp, "prio")
+    st.refresh(spark)  # snapshot 0
+    orders.filter(prio == "1").select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(os.path.join(inp, "prio=1"))
+    st.refresh(spark)  # snapshot 1: re-pins only prio=1-URGENT
+    asof0 = st.load(spark, 0)
+    # min/max are exact value picks (no float-sum order sensitivity),
+    # so the doubles hash bit-identically against DuckDB; the hive
+    # partition column comes back type-inferred as int — re-cast
+    asof0 = asof0.withColumn("prio", F.col("prio").cast("string"))
+    return asof0.groupBy("prio").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registration order IS the driver-gate order: the gate checks the
+    # FIRST 50 entries only (CORRECTNESS_r02/_r03 both truncate there),
+    # so the families the gate has never seen (ANN/PQ, packing,
+    # clustering, multimodal, minhash — r3 verdict item 1) come first,
+    # new r4 queries next, and the r1-era rows that have been
+    # hash-green in every round overflow past the window (they stay
+    # covered by scripts/check_oracle.py and the sf0.1 audit).
     return {
-        "standard_score": _q_standard_score,
-        "standard_score_ddof0": _q_standard_score_ddof0,
-        "minmax_scale": _q_minmax_scale,
-        "mean_scale": _q_mean_scale,
-        "clamp_nan": _q_clamp_nan,
-        "robust_scale": _q_robust_scale,
-        "tdigest_cdf": _q_tdigest_cdf,
-        "fit_update_incremental": _q_fit_update_incremental,
-        "fused_lookups": _q_fused_lookups,
-        "count_lookup": _q_count_lookup,
-        "count_lookup_min_threshold": _q_count_lookup_min_threshold,
-        "ratio_lookup": _q_ratio_lookup,
-        "index_lookup": _q_index_lookup,
-        "index_lookup_topk": _q_index_lookup_topk,
-        "int_count_lookup": _q_int_count_lookup,
-        "int_ratio_lookup": _q_int_ratio_lookup,
-        "int_index_lookup": _q_int_index_lookup,
-        "pipeline_multi_feature": _q_pipeline_multi_feature,
-        "asof_join": _q_asof_join,
-        "asof_join_salted": _q_asof_join_salted,
-        "asof_join_merge_strategy": _q_asof_join_merge_strategy,
-        "asof_join_broadcast": _q_asof_join_broadcast,
-        "asof_leakage_check": _q_asof_leakage_check,
-        "interval_join": _q_interval_join,
-        "distinct_users_per_type": _q_distinct_users_per_type,
-        "stopword_ratio": _q_stopword_ratio,
-        "asof_join_tolerance": _q_asof_join_tolerance,
-        "lag_lead": _q_lag_lead,
-        "fill_forward": _q_fill_forward,
-        "grouped_zscore": _q_grouped_zscore,
-        "rolling_stats": _q_rolling_stats,
-        "sessionize": _q_sessionize,
-        "seq_len": _q_seq_len,
-        "seq_trunc_sum": _q_seq_trunc_sum,
-        "seq_trunc_pad": _q_seq_trunc_pad,
-        "doc_token_trunc": _q_doc_token_trunc,
-        "tokenized_pipeline": _q_tokenized_pipeline,
-        "token_count": _q_token_count,
-        "punct_ratio": _q_punct_ratio,
-        "lang_id": _q_lang_id,
-        "quality_score": _q_quality_score,
-        "mixture_sample": _q_mixture_sample,
-        "corpus_curation": _q_corpus_curation,
-        "repetition_ratio": _q_repetition_ratio,
-        "gopher_filter": _q_gopher_filter,
-        "c4_filter": _q_c4_filter,
-        "exact_dedup": _q_exact_dedup,
-        "mark_exact_dups": _q_mark_exact_dups,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "winnow_fingerprint": _q_winnow_fingerprint,
+        # --- driver-unchecked in r3: into the window first
         "winnow_near_dups": _q_winnow_near_dups,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_keep": _q_dedup_keep,
@@ -1379,11 +1391,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_decode_real": _q_multimodal_decode_real,
+        # --- new in r4
+        "snapshot_time_travel": _q_snapshot_time_travel,
+        "tdigest_cdf": _q_tdigest_cdf,
+        # --- r2/r3 queries, still in the window
+        "fit_update_incremental": _q_fit_update_incremental,
+        "fused_lookups": _q_fused_lookups,
+        "pipeline_multi_feature": _q_pipeline_multi_feature,
+        "grouped_zscore": _q_grouped_zscore,
+        "asof_join": _q_asof_join,
+        "asof_join_salted": _q_asof_join_salted,
+        "asof_join_merge_strategy": _q_asof_join_merge_strategy,
+        "asof_join_broadcast": _q_asof_join_broadcast,
+        "asof_join_tolerance": _q_asof_join_tolerance,
+        "asof_leakage_check": _q_asof_leakage_check,
+        "interval_join": _q_interval_join,
+        "lag_lead": _q_lag_lead,
+        "fill_forward": _q_fill_forward,
+        "rolling_stats": _q_rolling_stats,
+        "sessionize": _q_sessionize,
+        "doc_token_trunc": _q_doc_token_trunc,
+        "tokenized_pipeline": _q_tokenized_pipeline,
+        "token_count": _q_token_count,
+        "punct_ratio": _q_punct_ratio,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality_score,
+        "stopword_ratio": _q_stopword_ratio,
+        "mixture_sample": _q_mixture_sample,
+        "corpus_curation": _q_corpus_curation,
+        "repetition_ratio": _q_repetition_ratio,
+        "gopher_filter": _q_gopher_filter,
+        "c4_filter": _q_c4_filter,
+        "exact_dedup": _q_exact_dedup,
+        "mark_exact_dups": _q_mark_exact_dups,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "winnow_fingerprint": _q_winnow_fingerprint,
+        # ---------------- past the 50-row gate window from here on:
+        # green since r1 (CORRECTNESS_r01-r03), replica-gate covered
+        "standard_score": _q_standard_score,
+        "standard_score_ddof0": _q_standard_score_ddof0,
+        "minmax_scale": _q_minmax_scale,
+        "mean_scale": _q_mean_scale,
+        "clamp_nan": _q_clamp_nan,
+        "robust_scale": _q_robust_scale,
+        "count_lookup": _q_count_lookup,
+        "count_lookup_min_threshold": _q_count_lookup_min_threshold,
+        "ratio_lookup": _q_ratio_lookup,
+        "index_lookup": _q_index_lookup,
+        "index_lookup_topk": _q_index_lookup_topk,
+        "int_count_lookup": _q_int_count_lookup,
+        "int_ratio_lookup": _q_int_ratio_lookup,
+        "int_index_lookup": _q_int_index_lookup,
+        "seq_len": _q_seq_len,
+        "seq_trunc_sum": _q_seq_trunc_sum,
+        "seq_trunc_pad": _q_seq_trunc_pad,
+        "distinct_users_per_type": _q_distinct_users_per_type,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # t-digest cdf tolerance as a checked invariant: the Spark side
+        # counts rows where |cdf - exact pct rank| > 1e-2; a correct
+        # sketch yields zero, so the oracle is the constant
+        "tdigest_cdf": "SELECT CAST(0 AS BIGINT) AS violations",
+        # time travel AS OF snapshot 0 == the deterministic subset the
+        # snapshot was committed from (see _q_snapshot_time_travel)
+        "snapshot_time_travel": """
+            SELECT SUBSTR(o_orderpriority, 1, 1) AS prio,
+                   COUNT(*) AS n,
+                   CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+                   MIN(o_totalprice) AS min_price,
+                   MAX(o_totalprice) AS max_price
+            FROM orders
+            WHERE o_orderkey % 2 = 0
+            GROUP BY 1
+        """,
         "standard_score": """
             SELECT l_orderkey, l_linenumber,
                    ROUND((l_extendedprice - AVG(l_extendedprice) OVER ())

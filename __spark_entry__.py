@@ -1112,19 +1112,20 @@ def _simhash_tokens_oracle_sql(n_rows: int = 2000, seed: int = 42) -> str:
     )
 
 
-def _simhash_tokens_near_dups_oracle_sql(
-    n_rows: int = 2000,
-    seed: int = 42,
-    max_hamming: int = 8,
-    prefix_bits: int = 16,
-    tables: int = 4,
-    max_bucket_size: int = 1000,
-) -> str:
-    """The FULL blocked near-dup path in SQL: per-table left-rotation of
-    the uint64 sketch (HUGEINT multiply — DuckDB << errors on overflow
-    instead of wrapping), prefix bucketing, bucket self-join, distinct
-    pairs, exact hamming via bit_count(xor) — bit-for-bit the Spark
-    ``simhash_hamming_pairs`` semantics including blocking recall."""
+def _simhash_pairs_parts(
+    n_rows: int,
+    seed: int,
+    prefix_bits: int,
+    tables: int,
+    max_bucket_size: int,
+) -> list:
+    """CTE chain through the FULL blocked simhash near-dup path:
+    per-table left-rotation of the uint64 sketch (HUGEINT multiply —
+    DuckDB << errors on overflow instead of wrapping), prefix
+    bucketing, bucket self-join, distinct pairs — bit-for-bit the
+    Spark ``simhash_hamming_pairs`` semantics including blocking
+    recall.  Ends with ``prs (ia, ib)``; ``sigu`` stays in scope for
+    the hamming filter."""
     parts = _simhash_tokens_sig_parts(n_rows, seed)
     step = 64 // max(1, tables)
     arms = []
@@ -1150,6 +1151,18 @@ def _simhash_tokens_near_dups_oracle_sql(
       FROM capped l JOIN capped r
         ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.id < r.id)"""
     )
+    return parts
+
+
+def _simhash_tokens_near_dups_oracle_sql(
+    n_rows: int = 2000,
+    seed: int = 42,
+    max_hamming: int = 8,
+    prefix_bits: int = 16,
+    tables: int = 4,
+    max_bucket_size: int = 1000,
+) -> str:
+    parts = _simhash_pairs_parts(n_rows, seed, prefix_bits, tables, max_bucket_size)
     return (
         parts[0]
         + ", "
@@ -1160,6 +1173,85 @@ def _simhash_tokens_near_dups_oracle_sql(
            CAST(bit_count(xor(a.su, b.su)) AS INT) AS hamming
     FROM prs p JOIN sigu a ON p.ia = a.id JOIN sigu b ON p.ib = b.id
     WHERE bit_count(xor(a.su, b.su)) <= {max_hamming}
+    """
+    )
+
+
+def _near_dup_report_oracle_sql(
+    n_rows: int = 2000,
+    seed: int = 42,
+    max_hamming: int = 8,
+    prefix_bits: int = 16,
+    tables: int = 4,
+    max_bucket_size: int = 1000,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_freq: int = 1000,
+) -> str:
+    """The fused near-dup report in SQL: the blocked simhash pair path
+    AND the token-id winnowing pair path over the SAME regenerated
+    corpus, full-outer-joined per (a, b) pair — exactly what
+    ``dedup.near_dup_report`` computes from one corpus scan."""
+    M, P = 1_000_000_007, 1_048_583
+    parts = _simhash_pairs_parts(n_rows, seed, prefix_bits, tables, max_bucket_size)
+    parts.append(
+        f"""whs AS (
+      SELECT id, list(CAST(tok AS BIGINT) % {M} ORDER BY p) AS hs
+      FROM toks GROUP BY id)"""
+    )
+    parts.append(
+        f"""wgrams AS (
+      SELECT id,
+        CASE WHEN len(hs) >= {k} THEN
+          list_transform(range(1, len(hs)-{k}+2), i ->
+            list_reduce(list_slice(hs, i, i+{k}-1), (a,b) -> (a*{P} + b) % {M}))
+        ELSE CAST([] AS BIGINT[]) END gs
+      FROM whs)"""
+    )
+    parts.append(
+        f"""wfsets AS (
+      SELECT id,
+        CASE WHEN len(gs) = 0 THEN CAST([] AS BIGINT[])
+             ELSE list_distinct(list_transform(
+                    range(1, greatest(len(gs)-{w}+1, 1)+1), i ->
+                    list_min(list_slice(gs, i, i+{w}-1)))) END fps
+      FROM wgrams)"""
+    )
+    parts.append("wfps AS (SELECT id, fp FROM wfsets, unnest(fps) AS u(fp))")
+    parts.append("wsizes AS (SELECT id, COUNT(*) n FROM wfps GROUP BY id)")
+    parts.append(
+        f"""wcapped AS (
+      SELECT * FROM wfps
+      QUALIFY COUNT(*) OVER (PARTITION BY fp) <= {max_fp_freq})"""
+    )
+    parts.append(
+        f"""wpairs AS (
+      SELECT l.id ia, r.id ib, COUNT(*) shared
+      FROM wcapped l JOIN wcapped r ON l.fp = r.fp AND l.id < r.id
+      GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared})"""
+    )
+    parts.append(
+        """wp AS (
+      SELECT p.ia, p.ib, p.shared,
+             ROUND(CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared), 6) AS overlap
+      FROM wpairs p JOIN wsizes sa ON sa.id = p.ia JOIN wsizes sb ON sb.id = p.ib)"""
+    )
+    parts.append(
+        f"""sp AS (
+      SELECT p.ia, p.ib, CAST(bit_count(xor(a.su, b.su)) AS INT) AS hamming
+      FROM prs p JOIN sigu a ON p.ia = a.id JOIN sigu b ON p.ib = b.id
+      WHERE bit_count(xor(a.su, b.su)) <= {max_hamming})"""
+    )
+    return (
+        parts[0]
+        + ", "
+        + ", ".join(parts[1:])
+        + """
+    SELECT 'doc' || lpad(CAST(COALESCE(sp.ia, wp.ia) AS VARCHAR), 10, '0') AS id_a,
+           'doc' || lpad(CAST(COALESCE(sp.ib, wp.ib) AS VARCHAR), 10, '0') AS id_b,
+           sp.hamming, wp.shared, wp.overlap
+    FROM sp FULL OUTER JOIN wp ON sp.ia = wp.ia AND sp.ib = wp.ib
     """
     )
 
@@ -1320,6 +1412,24 @@ def _winnow_fps_sql(k: int = 5, w: int = 4, rel: str = "documents") -> str:
     """
 
 
+def _q_near_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fused one-scan near-dup report (dedup.near_dup_sketches): simhash
+    # hamming pairs + winnowing shared-fp pairs from a single mapInArrow
+    # pass, full-outer-joined; the oracle replays BOTH pair paths over
+    # the regenerated corpus and full-outer-joins them in SQL
+    from torchestra_spark.functions.dedup import near_dup_report
+    from torchestra_spark.io.sources import tokenized_sequences
+
+    toks = tokenized_sequences(spark, 2000, seed=42, partitions=8)
+    rep = near_dup_report(
+        toks, "tokens", "doc_id", max_hamming=8, prefix_bits=16, tables=4,
+        max_bucket_size=1000, k=5, w=4, min_shared=2, max_fp_freq=1000,
+    )
+    return rep.select(
+        "id_a", "id_b", "hamming", "shared", F.round("overlap", 6).alias("overlap")
+    )
+
+
 def _q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SnapshotStore (checkpoint.py) under the driver gate: commit
     snapshot 0 from a deterministic subset of orders (even keys),
@@ -1392,6 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_decode_real": _q_multimodal_decode_real,
         # --- new in r4
+        "near_dup_report": _q_near_dup_report,
         "snapshot_time_travel": _q_snapshot_time_travel,
         "tdigest_cdf": _q_tdigest_cdf,
         # --- r2/r3 queries, still in the window
@@ -1425,9 +1536,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "mark_exact_dups": _q_mark_exact_dups,
         "ngram_jaccard": _q_ngram_jaccard,
-        "winnow_fingerprint": _q_winnow_fingerprint,
         # ---------------- past the 50-row gate window from here on:
         # green since r1 (CORRECTNESS_r01-r03), replica-gate covered
+        "winnow_fingerprint": _q_winnow_fingerprint,
         "standard_score": _q_standard_score,
         "standard_score_ddof0": _q_standard_score_ddof0,
         "minmax_scale": _q_minmax_scale,
@@ -1822,6 +1933,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
         """,
         "pack_blocks": _pack_blocks_oracle_sql(2000, 42, 128),
+        "near_dup_report": _near_dup_report_oracle_sql(
+            2000, 42, max_hamming=8, prefix_bits=16, tables=4,
+            max_bucket_size=1000, k=5, w=4, min_shared=2, max_fp_freq=1000,
+        ),
         "simhash_tokens": _simhash_tokens_oracle_sql(2000, 42),
         "simhash_tokens_near_dups": _simhash_tokens_near_dups_oracle_sql(
             2000, 42, max_hamming=8, prefix_bits=16, tables=4, max_bucket_size=1000

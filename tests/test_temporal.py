@@ -353,3 +353,22 @@ def test_asof_broadcast_empty_feature_table(spark, events, events_pd):
                     value_cols=["fval"], strategy="broadcast").toPandas()
     assert len(out) == len(events_pd)
     assert out["fval"].isna().all()
+
+
+def test_hot_key_detection_sampled_and_exact(spark):
+    """The sampled hot-key pre-pass (threshold >= 10k) must always
+    catch a 2x-threshold key and never salt a cold one; below the
+    sampling threshold counting is exact (r3 verdict item 7)."""
+    from torchestra_spark.operators.temporal import _hot_keys
+
+    rows = [("hot",)] * 20_000 + [("cold",)] * 200
+    df = spark.createDataFrame(rows, "user_id string").repartition(8)
+    # sampled path: threshold 10_000 -> fraction 0.05, cutoff 250
+    keys = _hot_keys(df, "user_id", 10_000)
+    assert "hot" in keys and "cold" not in keys
+    # exact path: threshold 250 (< sampling min) counts every row
+    keys2 = _hot_keys(df, "user_id", 250)
+    assert "hot" in keys2 and "cold" not in keys2
+    # exact path boundary: a key AT the threshold is hot (>=)
+    keys3 = _hot_keys(df, "user_id", 200)
+    assert sorted(keys3) == ["cold", "hot"]

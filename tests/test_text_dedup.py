@@ -711,6 +711,52 @@ def test_dedup_clusters_chain_and_star(spark):
     assert sorted(keepers) == [1, 10, 20]
 
 
+def test_near_dup_sketches_parity(spark):
+    # the fused one-scan kernel must be bit-identical to its standalone
+    # twins: simhash_tokens AND winnow_fingerprints_tokens (as a set)
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(60):
+        n = int(rng.randint(0, 13))  # hits empty, <k, <k+w-1, and big
+        rows.append((i, rng.randint(0, 50, size=n).tolist()))
+    # planted structure: exact dup + near dup + constant-token doc
+    rows += [(100, list(range(30))), (101, list(range(30))),
+             (102, list(range(15)) + [999] + list(range(15, 30))),
+             (103, [7] * 20)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>").repartition(5)
+    sk = {r.doc_id: r for r in
+          D.near_dup_sketches(df, "tokens", "doc_id", k=3, w=4).collect()}
+    ref_sim = {r.doc_id: r.simhash
+               for r in D.simhash_tokens(df, "tokens", "doc_id").collect()}
+    ref_fps = {r.doc_id: sorted(set(r.fps)) for r in df.select(
+        "doc_id", T.winnow_fingerprints_tokens(F.col("tokens"), k=3, w=4).alias("fps")
+    ).collect()}
+    assert {i: r.simhash for i, r in sk.items()} == ref_sim
+    assert {i: sorted(r.winnow_fps) for i, r in sk.items()} == ref_fps
+
+
+def test_near_dup_report_equals_separate_paths(spark):
+    rows = [(1, list(range(100))),
+            (2, list(range(50)) + [999] + list(range(50, 100))),  # near dup of 1
+            (3, [7] * 30), (4, [7] * 30),                          # exact dup
+            (5, list(range(500, 560))), (6, [1, 2]), (7, [])]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>").repartition(3)
+    kw = dict(max_hamming=8, prefix_bits=8, tables=4)
+    rep = D.near_dup_report(df, "tokens", "doc_id", k=3, w=4, min_shared=2, **kw).collect()
+    sim_ref = {(r.id_a, r.id_b): r.hamming
+               for r in D.simhash_tokens_near_dups(df, "tokens", "doc_id", **kw).collect()}
+    win_ref = {(r.id_a, r.id_b): (r.shared, r.overlap) for r in D.winnow_near_dups(
+        df, "tokens", "doc_id", min_shared=2,
+        fingerprints=T.winnow_fingerprints_tokens(F.col("tokens"), k=3, w=4),
+    ).collect()}
+    assert sim_ref and win_ref  # the planted dups must actually pair up
+    got_sim = {(r.id_a, r.id_b): r.hamming for r in rep if r.hamming is not None}
+    got_win = {(r.id_a, r.id_b): (r.shared, r.overlap) for r in rep
+               if r.shared is not None}
+    assert got_sim == sim_ref
+    assert got_win == win_ref
+
+
 def test_dedup_clusters_raises_when_not_converged(spark):
     # chain 1-2-3-4-5 has diameter 4; 2 hash-min rounds can't finish
     pairs = [(1, 2), (2, 3), (3, 4), (4, 5)]

@@ -60,6 +60,16 @@ def mark_exact_dups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+# (session id, semanticHash) -> partition count.  df.rdd forces a
+# plan conversion per call; sketch entry points are often invoked
+# repeatedly on the same frame (pairs + sizes + cap all reference the
+# sketch), so memoize per semantically-equal plan.  A hash collision
+# only reuses a partition COUNT (worst case: a skipped or extra
+# repartition — performance, never correctness).  Bounded; cleared
+# wholesale rather than LRU-tracked.
+_NPARTS_CACHE: dict = {}
+
+
 def _ensure_parallelism(df: DataFrame, min_parallelism: Optional[int] = None) -> DataFrame:
     """CPU-heavy Arrow sketch stages inherit the scan's partitioning; a
     small/single-file table would run the WHOLE sketch on one task (the
@@ -75,7 +85,20 @@ def _ensure_parallelism(df: DataFrame, min_parallelism: Optional[int] = None) ->
         return df
     spark = df.sparkSession
     target = min_parallelism or spark.sparkContext.defaultParallelism
-    if target and df.rdd.getNumPartitions() < target:
+    if not target:
+        return df
+    try:
+        key = (id(spark), df.semanticHash())
+    except Exception:  # pragma: no cover - semanticHash is best-effort
+        key = None
+    nparts = _NPARTS_CACHE.get(key) if key is not None else None
+    if nparts is None:
+        nparts = df.rdd.getNumPartitions()
+        if key is not None:
+            if len(_NPARTS_CACHE) > 256:
+                _NPARTS_CACHE.clear()
+            _NPARTS_CACHE[key] = nparts
+    if nparts < target:
         return df.repartition(target)
     return df
 
@@ -642,6 +665,172 @@ def winnow_near_dups(
         )
     )
     return out
+
+
+def _ragged_ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Concatenate arange(start_i, start_i + count_i) without a Python
+    loop (the standard cumsum-of-deltas construction)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(counts)
+    out = np.ones(total, dtype=np.int64)
+    out[0] = starts[0]
+    out[ends[:-1]] = starts[1:] - (starts[:-1] + counts[:-1] - 1)
+    return np.cumsum(out)
+
+
+def _winnow_token_fps_kernel(flat: np.ndarray, lens: np.ndarray, k: int, w: int):
+    """Batch-wide winnowing kernel: concatenated int64 token ids +
+    per-doc segment lengths -> per-doc DISTINCT fingerprint sets
+    (sorted ascending) as (offsets int64[n+1], values int64[total]).
+
+    numpy twin of ``text.winnow_fingerprints_tokens`` (same WINNOW_MOD
+    arithmetic, so the SQL oracle replays it): token-id mod-hash ->
+    k-gram polynomial fold (k-1 whole-buffer vector ops) -> sliding
+    w-window min (stride-tricks view, no copy) -> per-segment distinct
+    via one lexsort.  Grams/windows never cross document boundaries:
+    crossing gram positions are poisoned to a sentinel > any
+    fingerprint, and window positions are generated per segment."""
+    from torchestra_spark.functions.text import WINNOW_MOD, WINNOW_PRIME
+
+    n = len(lens)
+    T = int(lens.sum())
+    Gn = np.maximum(lens - (k - 1), 0)
+    if T < k:
+        return np.zeros(n + 1, dtype=np.int64), np.empty(0, dtype=np.int64)
+    h = flat.astype(np.int64) % WINNOW_MOD
+    g = h[: T - k + 1].copy()
+    for j in range(1, k):
+        g = (g * WINNOW_PRIME + h[j : T - k + 1 + j]) % WINNOW_MOD
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    seg = np.repeat(np.arange(n, dtype=np.int64), lens)
+    sent = np.int64(WINNOW_MOD)  # > every fingerprint (values are mod M)
+    gfull = np.full(T + 1, sent, dtype=np.int64)
+    gfull[: T - k + 1] = np.where(seg[: T - k + 1] == seg[k - 1 :], g, sent)
+    vals_list, segs_list = [], []
+    big = Gn >= w
+    if big.any():
+        sw = np.lib.stride_tricks.sliding_window_view(gfull[:T], w).min(axis=1)
+        counts = Gn[big] - w + 1
+        idx = _ragged_ranges(starts[:-1][big], counts)
+        vals_list.append(sw[idx])
+        segs_list.append(np.repeat(np.arange(n)[big], counts))
+    small = (Gn > 0) & (Gn < w)
+    if small.any():
+        # whole-doc window: min over the segment's (sentinel-padded)
+        # gram slice — reduceat over [starts[i], starts[i+1])
+        mins = np.minimum.reduceat(gfull, starts[:-1])
+        vals_list.append(mins[small])
+        segs_list.append(np.arange(n)[small])
+    if not vals_list:
+        return np.zeros(n + 1, dtype=np.int64), np.empty(0, dtype=np.int64)
+    vals = np.concatenate(vals_list)
+    segs = np.concatenate(segs_list)
+    order = np.lexsort((vals, segs))
+    vals, segs = vals[order], segs[order]
+    keep = np.ones(len(vals), dtype=bool)
+    keep[1:] = (vals[1:] != vals[:-1]) | (segs[1:] != segs[:-1])
+    vals, segs = vals[keep], segs[keep]
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(segs, minlength=n), out=offsets[1:])
+    return offsets, vals
+
+
+def near_dup_sketches(
+    df: DataFrame, tokens_col: str, id_col: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    """BOTH near-dup sketches from ONE corpus scan: per-doc 64-bit
+    token-id simhash AND the winnowed fingerprint set, computed in a
+    single mapInArrow pass over the same flat Arrow token buffer.
+    Returns (id, simhash bigint, winnow_fps array<bigint>).
+
+    The separate paths (`simhash_tokens` + `winnow_fingerprints_tokens`)
+    each scan and decode the corpus; at 100 TB the scan IS the dominant
+    cost of a near-dup run, so fusing the sketches halves it (bench
+    `near_dup_report` vs `simhash_dedup_tokens`+`winnow_dedup_tokens`).
+    Both kernels are bit-identical to their standalone twins, so the
+    fused path stays SQL-oracle-checkable."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from torchestra_spark.io.sources import _splitmix64
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    sel = _ensure_parallelism(
+        df.select(F.col(id_col).alias("__id"), F.col(tokens_col).alias("__t"))
+    )
+
+    def run(batches):
+        for b in batches:
+            arr = b.column(b.schema.get_field_index("__t"))
+            lens_arr = pc.list_value_length(arr)
+            if lens_arr.null_count:
+                lens_arr = pc.fill_null(lens_arr, 0)
+            lens = lens_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+            nrows = len(lens)
+            sim = np.zeros(nrows, dtype=np.int64)
+            offsets = np.zeros(nrows + 1, dtype=np.int64)
+            fvals = np.empty(0, dtype=np.int64)
+            if lens.sum() > 0:
+                flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+                sim = _simhash_votes(_splitmix64(flat.astype(np.uint64)), lens)
+                offsets, fvals = _winnow_token_fps_kernel(flat, lens, k, w)
+            fp_arr = pa.ListArray.from_arrays(
+                pa.array(offsets.astype(np.int32)),
+                pa.array(fvals, type=pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), pa.array(sim, type=pa.int64()), fp_arr],
+                ["__id", "simhash", "winnow_fps"],
+            )
+
+    out = sel.mapInArrow(run, f"__id {id_type}, simhash bigint, winnow_fps array<bigint>")
+    return out.withColumnRenamed("__id", id_col)
+
+
+def near_dup_report(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+    tables: int = 4,
+    max_bucket_size: Optional[int] = 1000,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_freq: Optional[int] = 1000,
+) -> DataFrame:
+    """Combined near-dup report over a token-id corpus: simhash
+    hamming pairs AND winnowing shared-fingerprint pairs from ONE
+    corpus scan (``near_dup_sketches``), full-outer-joined per pair.
+    Returns (id_a, id_b, hamming, shared, overlap); ``hamming`` is
+    NULL for winnow-only pairs, ``shared``/``overlap`` NULL for
+    simhash-only pairs.  Pair sets are identical to running
+    ``simhash_tokens_near_dups`` and ``winnow_near_dups``
+    (token-id fingerprints) separately — only the scan count drops."""
+    sk = near_dup_sketches(df, tokens_col, id_col, k=k, w=w).localCheckpoint(eager=True)
+    sim = simhash_hamming_pairs(
+        sk.select(id_col, "simhash"),
+        id_col,
+        max_hamming=max_hamming,
+        prefix_bits=prefix_bits,
+        tables=tables,
+        max_bucket_size=max_bucket_size,
+    )
+    win = winnow_near_dups(
+        sk,
+        "winnow_fps",
+        id_col,
+        min_shared=min_shared,
+        max_fp_freq=max_fp_freq,
+        fingerprints=F.col("winnow_fps"),
+    )
+    return sim.join(win, ["id_a", "id_b"], "full_outer")
 
 
 def dedup_clusters(

@@ -150,3 +150,20 @@ def test_winnow_join_is_all_jvm(spark, tmp_path):
     )
     plan = _plan(winnow_near_dups(df, "text", "doc_id", k=3, w=4))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pack_default_window_not_single_partition(spark):
+    # r3 verdict item 2: the default bucket used to be lit(0), running
+    # the packing prefix-sum window through ONE partition.  The auto
+    # range bucket must hash-partition the window on a real key AND
+    # actually spread rows over >1 bucket at runtime.
+    from torchestra_spark.operators.sequences import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, [i, i + 1]) for i in range(400)], "doc_id long, tokens array<int>"
+    ).repartition(4)
+    out = pack_sequences(df, "tokens", "doc_id", block_len=16)
+    plan = _plan(out)
+    win = [l for l in plan.splitlines() if "Window" in l and "__b" in l]
+    assert win, f"no bucketed window in plan:\n{plan}"
+    assert "SinglePartition" not in plan

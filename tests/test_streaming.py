@@ -228,3 +228,22 @@ def test_simhash_sketch_on_stream_matches_batch(spark, tmp_path):
     gp = {r.doc_id: r.simhash for r in got.collect()}
     ep = {r.doc_id: r.simhash for r in simhash_tokens(batch, "tokens", "doc_id").collect()}
     assert gp == ep and len(gp) == 300
+
+
+def test_fused_near_dup_sketches_on_stream_matches_batch(spark, tmp_path):
+    # the fused simhash+winnow kernel is stateless too -> streams get
+    # BOTH sketches in one pass, equal to the batch result
+    from torchestra_spark.functions.dedup import near_dup_sketches
+
+    rows = [(i, [j * 5 + i for j in range(1 + i % 11)]) for i in range(200)]
+    batch = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    d = tmp_path / "fused_stream"
+    batch.coalesce(2).write.parquet(str(d))
+    stream = spark.readStream.schema(batch.schema).parquet(str(d))
+    got = run_to_memory(
+        near_dup_sketches(stream, "tokens", "doc_id", k=3, w=4), "t_fused", spark
+    )
+    gp = {r.doc_id: (r.simhash, tuple(sorted(r.winnow_fps))) for r in got.collect()}
+    ep = {r.doc_id: (r.simhash, tuple(sorted(r.winnow_fps)))
+          for r in near_dup_sketches(batch, "tokens", "doc_id", k=3, w=4).collect()}
+    assert gp == ep and len(gp) == 200

@@ -812,24 +812,34 @@ def near_dup_report(
     NULL for winnow-only pairs, ``shared``/``overlap`` NULL for
     simhash-only pairs.  Pair sets are identical to running
     ``simhash_tokens_near_dups`` and ``winnow_near_dups``
-    (token-id fingerprints) separately — only the scan count drops."""
+    (token-id fingerprints) separately — only the scan count drops.
+
+    The sketch table is referenced by BOTH pair pipelines, so it is
+    checkpointed once; the (small) pair sets are materialized eagerly
+    while it is live and the sketch storage is released before
+    returning — same deterministic-release discipline as
+    ``minhash_dedup`` (pinning a per-doc fingerprint table for the
+    session was the round-2 cache-leak lesson)."""
     sk = near_dup_sketches(df, tokens_col, id_col, k=k, w=w).localCheckpoint(eager=True)
-    sim = simhash_hamming_pairs(
-        sk.select(id_col, "simhash"),
-        id_col,
-        max_hamming=max_hamming,
-        prefix_bits=prefix_bits,
-        tables=tables,
-        max_bucket_size=max_bucket_size,
-    )
-    win = winnow_near_dups(
-        sk,
-        "winnow_fps",
-        id_col,
-        min_shared=min_shared,
-        max_fp_freq=max_fp_freq,
-        fingerprints=F.col("winnow_fps"),
-    )
+    try:
+        sim = simhash_hamming_pairs(
+            sk.select(id_col, "simhash"),
+            id_col,
+            max_hamming=max_hamming,
+            prefix_bits=prefix_bits,
+            tables=tables,
+            max_bucket_size=max_bucket_size,
+        ).localCheckpoint(eager=True)
+        win = winnow_near_dups(
+            sk,
+            "winnow_fps",
+            id_col,
+            min_shared=min_shared,
+            max_fp_freq=max_fp_freq,
+            fingerprints=F.col("winnow_fps"),
+        ).localCheckpoint(eager=True)
+    finally:
+        sk.unpersist()
     return sim.join(win, ["id_a", "id_b"], "full_outer")
 
 

@@ -1412,6 +1412,69 @@ def _winnow_fps_sql(k: int = 5, w: int = 4, rel: str = "documents") -> str:
     """
 
 
+def _decontaminate_oracle_sql(
+    n_rows: int = 2000,
+    seed: int = 42,
+    n: int = 8,
+    min_hits: int = 1,
+    eval_mod: int = 16,
+    eval_rem: int = 3,
+) -> str:
+    """mark_contaminated replayed in SQL: winnow-fold n-gram hashes of
+    every doc, the eval subset's distinct gram set, per-doc shared-gram
+    counts via join, 0 for docs with no grams or no hits."""
+    M, P = 1_000_000_007, 1_048_583
+    parts = _tokenized_cte_parts(n_rows, seed)
+    parts.append(
+        f"""whs AS (
+      SELECT id, list(CAST(tok AS BIGINT) % {M} ORDER BY p) AS hs
+      FROM toks GROUP BY id)"""
+    )
+    parts.append(
+        f"""gr AS (
+      SELECT id,
+        CASE WHEN len(hs) >= {n} THEN
+          list_distinct(list_transform(range(1, len(hs)-{n}+2), i ->
+            list_reduce(list_slice(hs, i, i+{n}-1), (a,b) -> (a*{P} + b) % {M})))
+        ELSE CAST([] AS BIGINT[]) END gs
+      FROM whs)"""
+    )
+    parts.append(
+        f"eg AS (SELECT DISTINCT g FROM gr, unnest(gs) AS u(g) WHERE id % {eval_mod} = {eval_rem})"
+    )
+    parts.append("tg AS (SELECT id, g FROM gr, unnest(gs) AS u(g))")
+    parts.append(
+        "hits AS (SELECT tg.id, COUNT(*) ch FROM tg JOIN eg ON tg.g = eg.g GROUP BY tg.id)"
+    )
+    return (
+        parts[0]
+        + ", "
+        + ", ".join(parts[1:])
+        + f"""
+    SELECT 'doc' || lpad(CAST(d.id AS VARCHAR), 10, '0') AS doc_id,
+           CAST(COALESCE(h.ch, 0) AS BIGINT) AS contam_hits,
+           COALESCE(h.ch, 0) >= {min_hits} AS is_contaminated
+    FROM docs d LEFT JOIN hits h ON d.id = h.id
+    """
+    )
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # test-set decontamination (GPT-3 n-gram rule): eval = every 16th
+    # doc (numeric-id mod, SQL-replayable), train = the whole corpus —
+    # so every eval member with >= n tokens is an exact-copy leak and
+    # must be flagged; cross-doc hits on this uniform-token corpus are
+    # ~0 and the oracle replays whatever occurs identically
+    from torchestra_spark.functions.dedup import mark_contaminated
+    from torchestra_spark.io.sources import tokenized_sequences
+
+    toks = tokenized_sequences(spark, 2000, seed=42, partitions=8)
+    nid = F.substring("doc_id", 4, 10).cast("long")
+    evald = toks.filter(nid % 16 == 3)
+    out = mark_contaminated(toks, "tokens", "doc_id", evald, n=8, min_hits=1)
+    return out.select("doc_id", "contam_hits", "is_contaminated")
+
+
 def _q_near_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fused one-scan near-dup report (dedup.near_dup_sketches): simhash
     # hamming pairs + winnowing shared-fp pairs from a single mapInArrow
@@ -1503,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_real": _q_multimodal_decode_real,
         # --- new in r4
         "near_dup_report": _q_near_dup_report,
+        "decontaminate": _q_decontaminate,
         "snapshot_time_travel": _q_snapshot_time_travel,
         "tdigest_cdf": _q_tdigest_cdf,
         # --- r2/r3 queries, still in the window
@@ -1535,9 +1599,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filter": _q_c4_filter,
         "exact_dedup": _q_exact_dedup,
         "mark_exact_dups": _q_mark_exact_dups,
-        "ngram_jaccard": _q_ngram_jaccard,
         # ---------------- past the 50-row gate window from here on:
         # green since r1 (CORRECTNESS_r01-r03), replica-gate covered
+        "ngram_jaccard": _q_ngram_jaccard,
         "winnow_fingerprint": _q_winnow_fingerprint,
         "standard_score": _q_standard_score,
         "standard_score_ddof0": _q_standard_score_ddof0,
@@ -1936,6 +2000,9 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_report": _near_dup_report_oracle_sql(
             2000, 42, max_hamming=8, prefix_bits=16, tables=4,
             max_bucket_size=1000, k=5, w=4, min_shared=2, max_fp_freq=1000,
+        ),
+        "decontaminate": _decontaminate_oracle_sql(
+            2000, 42, n=8, min_hits=1, eval_mod=16, eval_rem=3
         ),
         "simhash_tokens": _simhash_tokens_oracle_sql(2000, 42),
         "simhash_tokens_near_dups": _simhash_tokens_near_dups_oracle_sql(

@@ -281,6 +281,16 @@ def bench_queries(spark):
 
         _noop(pack_sequences_local(toks.select("tokens"), "tokens", 2048))
 
+    def q_decontaminate():
+        # test-set decontamination of the FULL 2M-doc corpus against a
+        # ~2k-doc eval subset: the eval n-gram set broadcasts, the
+        # train side streams through a map-side probe (no shuffle of
+        # the corpus)
+        from torchestra_spark.functions.dedup import mark_contaminated
+
+        evald = toks.filter(F.pmod(F.xxhash64("doc_id", F.lit(9)), F.lit(1024)) == 0)
+        _noop(mark_contaminated(toks, "tokens", "doc_id", evald, n=8, min_hits=1))
+
     def q_sessionize_events():
         _noop(sessionize(ev, "user_id", ["ts", "event_id"], gap_sec=3600.0))
 
@@ -300,6 +310,7 @@ def bench_queries(spark):
         "simhash_dedup_tokens": q_simhash_dedup_tokens,
         "winnow_dedup_tokens": q_winnow_dedup_tokens,
         "near_dup_report": q_near_dup_report,
+        "decontaminate": q_decontaminate,
         "pack_blocks": q_pack_blocks,
         "pack_blocks_local": q_pack_blocks_local,
         "sessionize_events": q_sessionize_events,

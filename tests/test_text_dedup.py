@@ -757,6 +757,33 @@ def test_near_dup_report_equals_separate_paths(spark):
     assert got_win == win_ref
 
 
+def test_decontamination_marks_and_drops(spark):
+    # eval doc = tokens 0..19; train doc 1 embeds ONE of its 8-grams,
+    # doc 2 shares nothing, doc 3 is shorter than n, doc 4 is an exact
+    # copy (the realistic leak)
+    ev = spark.createDataFrame([(100, list(range(20)))], "doc_id long, tokens array<int>")
+    train = spark.createDataFrame(
+        [(1, [99, 98] + list(range(8)) + [77]),
+         (2, list(range(1000, 1030))),
+         (3, [0, 1, 2]),
+         (4, list(range(20)))],
+        "doc_id long, tokens array<int>",
+    )
+    marked = D.mark_contaminated(train, "tokens", "doc_id", ev, n=8)
+    m = {r.doc_id: (r.contam_hits, r.is_contaminated) for r in marked.collect()}
+    assert m[1] == (1, True)       # exactly the embedded 8-gram
+    assert m[2] == (0, False)
+    assert m[3] == (0, False)      # no grams at all
+    assert m[4] == (13, True)      # 20 - 8 + 1 distinct shared grams
+    kept = sorted(r.doc_id for r in
+                  D.decontaminate(train, "tokens", "doc_id", ev, n=8).collect())
+    assert kept == [2, 3]
+    # min_hits raises the bar: the single-gram doc survives
+    kept2 = sorted(r.doc_id for r in
+                   D.decontaminate(train, "tokens", "doc_id", ev, n=8, min_hits=2).collect())
+    assert kept2 == [1, 2, 3]
+
+
 def test_dedup_clusters_raises_when_not_converged(spark):
     # chain 1-2-3-4-5 has diameter 4; 2 hash-min rounds can't finish
     pairs = [(1, 2), (2, 3), (3, 4), (4, 5)]

@@ -843,6 +843,73 @@ def near_dup_report(
     return sim.join(win, ["id_a", "id_b"], "full_outer")
 
 
+# --------------------------------------------------------- decontamination
+def mark_contaminated(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str,
+    eval_df: DataFrame,
+    eval_tokens_col: Optional[str] = None,
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Test-set decontamination marking (the GPT-3/PaLM n-gram rule):
+    annotate every training document with ``contam_hits`` = the number
+    of DISTINCT token n-grams it shares with the evaluation corpus,
+    and ``is_contaminated`` = hits >= min_hits.
+
+    Scale shape: the eval corpus is benchmarks — KBs to MBs — so its
+    distinct n-gram hash set is aggregated once and met via a
+    BROADCAST join: the 100 TB training side streams through a
+    map-side hash probe, never shuffles, and docs with no hit cost one
+    gram-explode + probe.  Gram hashing is the winnow polynomial fold
+    (``text.token_ngram_hashes``), so the whole check replays in SQL
+    (driver oracle `decontaminate`).  Unlike near-dup detection this
+    keeps EVERY n-gram — a sampled fingerprint that misses an overlap
+    would leak an eval example into training."""
+    from torchestra_spark.functions.text import token_ngram_hashes
+
+    eval_tokens_col = eval_tokens_col or tokens_col
+    eg = (
+        eval_df.select(
+            F.explode(token_ngram_hashes(F.col(eval_tokens_col), n)).alias("__g")
+        )
+        .distinct()
+    )
+    tg = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(token_ngram_hashes(F.col(tokens_col), n)).alias("__g"),
+    )
+    hits = (
+        tg.join(F.broadcast(eg), "__g")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("contam_hits"))
+    )
+    return (
+        df.join(hits.withColumnRenamed("__id", id_col), id_col, "left")
+        .withColumn("contam_hits", F.coalesce(F.col("contam_hits"), F.lit(0)))
+        .withColumn("is_contaminated", F.col("contam_hits") >= min_hits)
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str,
+    eval_df: DataFrame,
+    eval_tokens_col: Optional[str] = None,
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Drop training documents sharing >= ``min_hits`` distinct token
+    n-grams with the evaluation corpus (see ``mark_contaminated``)."""
+    m = mark_contaminated(
+        df, tokens_col, id_col, eval_df, eval_tokens_col=eval_tokens_col,
+        n=n, min_hits=min_hits,
+    )
+    return m.filter(~F.col("is_contaminated")).drop("contam_hits", "is_contaminated")
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -318,6 +318,32 @@ def winnow_fingerprints_tokens(tokens: Column, k: int = 3, w: int = 4) -> Column
     )
 
 
+def token_ngram_hashes(tokens: Column, n: int = 8) -> Column:
+    """DISTINCT polynomial hashes of token-id n-grams (array<long>) —
+    the winnow gram fold (same WINNOW_MOD arithmetic, so it is
+    SQL-replayable) WITHOUT the window-min selection: every n-gram is
+    kept.  The building block for test-set decontamination
+    (``dedup.mark_contaminated``), where a MISSED overlap is a leaked
+    eval example — sampling fingerprints is not acceptable there,
+    unlike near-dup detection."""
+
+    def grams(hv: Column) -> Column:
+        def gram(i: Column) -> Column:
+            g = F.element_at(hv, i)
+            for j in range(1, n):
+                g = (g * WINNOW_PRIME + F.element_at(hv, i + j)) % WINNOW_MOD
+            return g
+
+        return F.when(
+            F.size(hv) >= n,
+            F.array_distinct(
+                F.transform(F.sequence(F.lit(1), F.size(hv) - n + 1), gram)
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+
+    return _let(F.transform(tokens, lambda t: t.cast("long") % WINNOW_MOD), grams)
+
+
 def add_text_features(df: DataFrame, text_col: str = "text", lang: str = "en") -> DataFrame:
     """Convenience: attach the standard text-analysis feature columns."""
     t = F.col(text_col)

@@ -1475,6 +1475,26 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "contam_hits", "is_contaminated")
 
 
+def _q_tokenize_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # text -> token-id bridge (text.fit_vocab + tokenize_with_vocab):
+    # fit a 1000-word vocab on documents (count DESC, word ASC ties —
+    # IndexLookup's rule), tokenize the same corpus, return per-doc
+    # checksums; the oracle replays vocab fit + mapping + in-order
+    # array re-assembly in SQL
+    from torchestra_spark.functions.text import fit_vocab, tokenize_with_vocab
+
+    doc = _t(spark, sf_dir, "documents")
+    vocab = fit_vocab(doc, "text", size=1000)
+    out = tokenize_with_vocab(doc, "text", "doc_id", vocab)
+    return out.select(
+        "doc_id",
+        "n_tok",
+        F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x).alias("tok_sum"),
+        F.get("tokens", 0).cast("long").alias("tok_head"),
+        F.get("tokens", F.size("tokens") - 1).cast("long").alias("tok_tail"),
+    )
+
+
 def _q_near_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fused one-scan near-dup report (dedup.near_dup_sketches): simhash
     # hamming pairs + winnowing shared-fp pairs from a single mapInArrow
@@ -1567,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r4
         "near_dup_report": _q_near_dup_report,
         "decontaminate": _q_decontaminate,
+        "tokenize_vocab": _q_tokenize_vocab,
         "snapshot_time_travel": _q_snapshot_time_travel,
         "tdigest_cdf": _q_tdigest_cdf,
         # --- r2/r3 queries, still in the window
@@ -1598,9 +1619,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": _q_gopher_filter,
         "c4_filter": _q_c4_filter,
         "exact_dedup": _q_exact_dedup,
-        "mark_exact_dups": _q_mark_exact_dups,
         # ---------------- past the 50-row gate window from here on:
         # green since r1 (CORRECTNESS_r01-r03), replica-gate covered
+        "mark_exact_dups": _q_mark_exact_dups,
         "ngram_jaccard": _q_ngram_jaccard,
         "winnow_fingerprint": _q_winnow_fingerprint,
         "standard_score": _q_standard_score,
@@ -2004,6 +2025,36 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontaminate_oracle_sql(
             2000, 42, n=8, min_hits=1, eval_mod=16, eval_rem=3
         ),
+        # vocab fit (count DESC, word ASC) + broadcast mapping + list
+        # re-assembly in document word order, replayed over documents
+        "tokenize_vocab": """
+            WITH srcw AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            wpos AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[CAST(i AS BIGINT)] AS word
+              FROM srcw, unnest(range(1, len(ws)+1)) AS r(i)),
+            counts AS (SELECT word, COUNT(*) AS cnt FROM wpos GROUP BY 1),
+            vocab AS (
+              SELECT word,
+                     ROW_NUMBER() OVER (ORDER BY cnt DESC, word ASC) AS tid
+              FROM counts
+              QUALIFY tid <= 1000),
+            mapped AS (
+              SELECT w.doc_id, w.pos, COALESCE(v.tid, 0) AS tid
+              FROM wpos w LEFT JOIN vocab v USING (word)),
+            agg AS (
+              SELECT doc_id, list(tid ORDER BY pos) AS tokens
+              FROM mapped GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(len(a.tokens), 0) AS INT) AS n_tok,
+                   CAST(COALESCE(list_sum(a.tokens), 0) AS BIGINT) AS tok_sum,
+                   CAST(a.tokens[1] AS BIGINT) AS tok_head,
+                   CAST(a.tokens[-1] AS BIGINT) AS tok_tail
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
         "simhash_tokens": _simhash_tokens_oracle_sql(2000, 42),
         "simhash_tokens_near_dups": _simhash_tokens_near_dups_oracle_sql(
             2000, 42, max_hamming=8, prefix_bits=16, tables=4, max_bucket_size=1000

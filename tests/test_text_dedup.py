@@ -757,6 +757,27 @@ def test_near_dup_report_equals_separate_paths(spark):
     assert got_win == win_ref
 
 
+def test_fit_vocab_and_tokenize(spark):
+    rows = [(1, "the cat sat on the mat"), (2, "The dog"), (3, ""), (4, "zebra unknown")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = T.fit_vocab(df, "text", size=5)
+    v = {r.word: r.token_id for r in vocab.collect()}
+    # 'the' x3 (case-folded) -> id 1; count-1 words tie alphabetically:
+    # cat dog mat on sat unknown zebra -> 2.. cut at size 5
+    assert v == {"the": 1, "cat": 2, "dog": 3, "mat": 4, "on": 5}
+    out = {r.doc_id: (list(r.tokens), r.n_tok)
+           for r in T.tokenize_with_vocab(df, "text", "doc_id", vocab).collect()}
+    assert out[1] == ([1, 2, 0, 5, 1, 4], 6)   # sat -> OOV 0
+    assert out[2] == ([1, 3], 2)
+    assert out[3] == ([], 0)                   # wordless doc: empty, not [oov]
+    assert out[4] == ([0, 0], 2)
+    # the bridge composes with token-side operators
+    from torchestra_spark.operators.sequences import pack_sequences
+    toks = T.tokenize_with_vocab(df, "text", "doc_id", vocab)
+    blocks = pack_sequences(toks, "tokens", "doc_id", block_len=4).collect()
+    assert sum(r.n_tok for r in blocks) == 10
+
+
 def test_decontamination_marks_and_drops(spark):
     # eval doc = tokens 0..19; train doc 1 embeds ONE of its 8-grams,
     # doc 2 shares nothing, doc 3 is shorter than n, doc 4 is an exact

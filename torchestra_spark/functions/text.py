@@ -344,6 +344,82 @@ def token_ngram_hashes(tokens: Column, n: int = 8) -> Column:
     return _let(F.transform(tokens, lambda t: t.cast("long") % WINNOW_MOD), grams)
 
 
+# ------------------------------------------------------------- tokenization
+def fit_vocab(
+    df: DataFrame, text_col: str, size: int = 50_000, min_count: int = 1
+) -> DataFrame:
+    """Fit a word vocabulary: the ``size`` most frequent lowercase
+    whitespace words, ranked (count DESC, word ASC — the IndexLookup
+    tie rule, so the mapping is deterministic and SQL-replayable).
+    Returns (word, token_id) with ids 1..size; 0 is reserved for OOV.
+
+    One map-side-combined count aggregate + one ``size``-row ranking —
+    the same shape as every vocab fit in the engine (the ranking
+    window sees ``size``-bounded data only after the count shuffle)."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(words(F.lower(F.col(text_col)))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") >= min_count)
+    )
+    w = Window.orderBy(F.col("__cnt").desc(), F.col("word").asc())
+    return (
+        counts.withColumn("token_id", F.row_number().over(w))
+        .filter(F.col("token_id") <= size)
+        .select("word", "token_id")
+    )
+
+
+def tokenize_with_vocab(
+    df: DataFrame, text_col: str, id_col: str, vocab: DataFrame, oov_id: int = 0
+) -> DataFrame:
+    """text -> token-id arrays through a fitted vocabulary: the bridge
+    from a raw-text corpus (``documents``) to the engine's input_hint
+    shape (``tokens array<int>``), so every token-side operator
+    (packing, simhash/winnow dedup, decontamination, sequence ops)
+    runs on tokenized text.
+
+    Plan: posexplode words -> BROADCAST-join the vocabulary (vocabs
+    are ~1e5 rows; the corpus side streams map-side, no shuffle for
+    the lookup) -> one groupBy per document re-assembles the array in
+    word order (sort_array over (pos, id) structs).  The reassembly
+    shuffles one row per token — the same unavoidable cost as exact
+    packing; empty/no-word documents keep an empty array.  Returns the
+    input columns + ``tokens`` (array<int>) + ``n_tok``."""
+    ws = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode_outer(words(F.lower(F.col(text_col)))).alias("__pos", "__w"),
+    )
+    joined = ws.join(
+        F.broadcast(vocab.withColumnRenamed("word", "__w")), "__w", "left"
+    ).select(
+        "__id",
+        "__pos",
+        F.coalesce(F.col("token_id"), F.lit(oov_id)).cast("int").alias("__tid"),
+    )
+    toks = joined.groupBy("__id").agg(
+        F.transform(
+            # posexplode_outer emits one NULL-pos row for wordless docs;
+            # filter it so they get [] rather than [oov]
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("__pos").isNotNull(),
+                        F.struct(F.col("__pos"), F.col("__tid")),
+                    )
+                )
+            ),
+            lambda s: s["__tid"],
+        ).alias("tokens")
+    )
+    out = df.join(toks.withColumnRenamed("__id", id_col), id_col, "left")
+    return out.withColumn(
+        "tokens", F.coalesce(F.col("tokens"), F.array().cast("array<int>"))
+    ).withColumn("n_tok", F.size("tokens"))
+
+
 def add_text_features(df: DataFrame, text_col: str = "text", lang: str = "en") -> DataFrame:
     """Convenience: attach the standard text-analysis feature columns."""
     t = F.col(text_col)

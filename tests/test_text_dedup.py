@@ -928,3 +928,23 @@ def test_c4_line_and_doc_filters(spark):
     assert out[1].cleaned == (
         "A good line with enough words here.\nAnother proper sentence ends well!"
     )
+
+
+def test_resize_bmp_real(spark):
+    # 4x4 image with distinct per-pixel values; nearest-neighbor to 2x2
+    # picks rows/cols {0,2} exactly; roundtrip through real BMP codec
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "payload": [M.encode_bmp(px), None]})
+    )
+    out = {r.doc_id: r.payload for r in
+           M.resize_bmp(df, "payload", "doc_id", width=2, height=2).collect()}
+    got = M.decode_bmp_pixels(bytes(out[1]))
+    assert got.shape == (2, 2, 3)
+    assert np.array_equal(got, px[[0, 2]][:, [0, 2]])
+    assert out[2] is None          # NULL payload passes through
+    # upscale picks repeated source pixels, still exact
+    up = M.resize_bmp(df.limit(1), "payload", "doc_id", width=8, height=8).collect()
+    gup = M.decode_bmp_pixels(bytes(up[0].payload))
+    yi = (np.arange(8) * 4) // 8
+    assert np.array_equal(gup, px[yi][:, yi])

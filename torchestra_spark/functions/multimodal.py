@@ -108,6 +108,31 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return bgr[:, :, 2] * 0.299 + bgr[:, :, 1] * 0.587 + bgr[:, :, 0] * 0.114
 
 
+def decode_bmp_pixels(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP -> (h, w, 3) uint8 RGB (the raw-pixel
+    twin of ``decode_bmp``, for transforms that must re-encode —
+    luminance is lossy)."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    bottom_up = h > 0
+    h = abs(h)
+    row = w * 3
+    stride = row + (4 - row % 4) % 4
+    buf = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
+    rows = buf.reshape(h, stride)[:, :row].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     """float samples in [-1,1] -> 16-bit PCM mono WAV bytes."""
     import struct
@@ -229,6 +254,48 @@ def decode_features(
             yield pd.DataFrame({"__id": pdf["__id"], "features": feats})
 
     out = sel.mapInPandas(decode, f"__id {id_type}, features array<float>")
+    return out.withColumnRenamed("__id", id_col)
+
+
+def resize_bmp(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    width: int = 224,
+    height: int = 224,
+) -> DataFrame:
+    """REAL image resize over binary BMP payloads: decode (pure-numpy
+    BMP reader above) -> nearest-neighbor resample -> re-encode BMP.
+    Returns (id, payload) with every image exactly (height, width).
+
+    The Spark shape is the multimodal contract: opaque binary column
+    in, opaque binary column out, Arrow-batched mapInPandas, no
+    external codec.  Nearest-neighbor is two integer index vectors —
+    the deterministic choice (bilinear would tie the oracle to float
+    rounding).  NULL payloads pass through as NULL; non-BMP payloads
+    raise at the codec (same contract as decode_features)."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    from torchestra_spark.functions.dedup import _ensure_parallelism
+
+    sel = _ensure_parallelism(
+        df.select(F.col(id_col).alias("__id"), F.col(payload_col).alias("__p"))
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for p in pdf["__p"]:
+                if p is None:
+                    outs.append(None)
+                    continue
+                px = decode_bmp_pixels(bytes(p))
+                h0, w0 = px.shape[:2]
+                yi = (np.arange(height, dtype=np.int64) * h0) // height
+                xi = (np.arange(width, dtype=np.int64) * w0) // width
+                outs.append(encode_bmp(px[yi][:, xi]))
+            yield pd.DataFrame({"__id": pdf["__id"], "payload": outs})
+
+    out = sel.mapInPandas(run, f"__id {id_type}, payload binary")
     return out.withColumnRenamed("__id", id_col)
 
 

@@ -904,6 +904,30 @@ def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("pq_dist", 6).alias("pq_dist"))
 
 
+def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FAISS-style IVF-PQ composite (coarse cells + residual PQ codes)
+    # in its recall-1.0 configuration: iters=0 + ks >= corpus makes
+    # every residual subvector a codebook centroid (ADC == exact
+    # squared L2) and probing all cells removes the IVF approximation,
+    # so the oracle is exact L2 top-k; lossy production configs are
+    # covered by the pytest recall floor
+    from torchestra_spark.functions.similarity import (
+        ivfpq_encode,
+        ivfpq_topk,
+        train_ivfpq,
+    )
+
+    em = _t(spark, sf_dir, "embeddings")
+    q = em.orderBy("vec_id").first()["embedding"]
+    C, B = train_ivfpq(
+        em, "embedding", n_centroids=4, m=8, ks=50_000, sample=50_000,
+        iters=0, order_col="vec_id",
+    )
+    codes = ivfpq_encode(em.select("vec_id", "embedding"), "embedding", C, B)
+    out = ivfpq_topk(codes, C, B, q, k=10, n_probes=4)
+    return out.select("vec_id", F.round("ivfpq_dist", 6).alias("ivfpq_dist"))
+
+
 def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact all-pairs verification baseline (oracle-checkable); the
     # scale path is method="lsh" (multi-table hyperplane blocking),
@@ -1581,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "pq_topk": _q_pq_topk,
+        "ivfpq_topk": _q_ivfpq_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_decode_real": _q_multimodal_decode_real,
@@ -1618,9 +1643,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratio": _q_repetition_ratio,
         "gopher_filter": _q_gopher_filter,
         "c4_filter": _q_c4_filter,
-        "exact_dedup": _q_exact_dedup,
         # ---------------- past the 50-row gate window from here on:
         # green since r1 (CORRECTNESS_r01-r03), replica-gate covered
+        "exact_dedup": _q_exact_dedup,
         "mark_exact_dups": _q_mark_exact_dups,
         "ngram_jaccard": _q_ngram_jaccard,
         "winnow_fingerprint": _q_winnow_fingerprint,
@@ -2059,6 +2084,19 @@ def oracle_sql() -> dict[str, str]:
         "simhash_tokens_near_dups": _simhash_tokens_near_dups_oracle_sql(
             2000, 42, max_hamming=8, prefix_bits=16, tables=4, max_bucket_size=1000
         ),
+        "ivfpq_topk": """
+            WITH q AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings ORDER BY vec_id LIMIT 1
+            )
+            SELECT vec_id,
+                   ROUND(list_sum(list_transform(range(1, len(qv) + 1), i ->
+                         (CAST(embedding[i] AS DOUBLE) - qv[i]) ^ 2)), 6) AS ivfpq_dist
+            FROM embeddings, q
+            ORDER BY list_sum(list_transform(range(1, len(qv) + 1), i ->
+                     (CAST(embedding[i] AS DOUBLE) - qv[i]) ^ 2)) ASC, vec_id ASC
+            LIMIT 10
+        """,
         "seq_len": """
             SELECT vec_id, len(embedding) AS seq_len FROM embeddings
         """,

@@ -330,7 +330,11 @@ _ITERS = {
     "minhash_dedup": 3,
     "simhash_dedup_tokens": 3,
     "winnow_dedup_tokens": 3,
-    "near_dup_report": 3,
+    # the fused suite is the LONGEST query: under intermittent vCPU
+    # steal its min-of-N needs the most attempts to land in a quiet
+    # window (measured quiet 8.9-9.8s vs 17-28s inside steal bursts)
+    "near_dup_report": 4,
+    "decontaminate": 3,
     "pack_blocks": 3,
 }
 

@@ -948,3 +948,41 @@ def test_resize_bmp_real(spark):
     gup = M.decode_bmp_pixels(bytes(up[0].payload))
     yi = (np.arange(8) * 4) // 8
     assert np.array_equal(gup, px[yi][:, yi])
+
+
+def test_ivfpq_exact_config_and_recall(spark, embs):
+    from torchestra_spark.functions import similarity as SIM
+
+    q = np.asarray(embs.orderBy("vec_id").first()["embedding"], dtype=np.float64)
+    # recall-1.0 config: iters=0 + ks >= corpus makes every residual
+    # subvector a codebook centroid, so ADC == exact squared L2 no
+    # matter the (random-pick) coarse cells; probing ALL cells removes
+    # the IVF approximation too
+    C, B = SIM.train_ivfpq(embs, "embedding", n_centroids=4, m=8, ks=10_000,
+                           sample=10_000, iters=0, order_col="vec_id")
+    codes = SIM.ivfpq_encode(embs.select("vec_id", "embedding"), "embedding", C, B)
+    got = SIM.ivfpq_topk(codes, C, B, q, k=10, n_probes=4).collect()
+    pdf = embs.select("vec_id", "embedding").toPandas()
+    X = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+    d2 = ((X - q) ** 2).sum(axis=1)
+    order = np.lexsort((pdf["vec_id"].to_numpy(), d2))[:10]
+    assert [r.vec_id for r in got] == pdf["vec_id"].to_numpy()[order].tolist()
+    assert np.allclose([r.ivfpq_dist for r in got], d2[order], atol=1e-9)
+
+    # lossy production config on a clustered corpus: cluster mates must
+    # dominate the probed top-10
+    rng = np.random.RandomState(0)
+    centers = rng.randn(50, 64) * 5
+    pts = np.repeat(centers, 10, axis=0) + rng.randn(500, 64) * 0.3
+    cdf = spark.createDataFrame(
+        [(i, pts[i].tolist()) for i in range(500)], "vec_id long, embedding array<double>"
+    )
+    C2, B2 = SIM.train_ivfpq(cdf, "embedding", n_centroids=16, m=8, ks=64,
+                             iters=5, seed=1, order_col="vec_id")
+    codes2 = SIM.ivfpq_encode(cdf.select("vec_id", "embedding"), "embedding", C2, B2)
+    got2 = {r.vec_id for r in SIM.ivfpq_topk(codes2, C2, B2, centers[7], k=10,
+                                             n_probes=4).collect()}
+    assert len(got2 & set(range(70, 80))) >= 8, f"recall too low: {sorted(got2)}"
+    # cell pruning really prunes: probing 1 of 16 cells scans a subset
+    one = SIM.ivfpq_topk(codes2, C2, B2, centers[7], k=10, n_probes=1)
+    assert one.count() == 10

@@ -508,6 +508,14 @@ def train_pq(
         sel = df.select(vec_col).limit(sample)
     pdf = sel.toPandas()
     X = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+    return _pq_fit(X, m, ks, iters, seed)
+
+
+def _pq_fit(X: np.ndarray, m: int, ks: int, iters: int, seed: int) -> np.ndarray:
+    """Per-subspace Lloyd's over an in-memory training matrix — the
+    shared kernel behind ``train_pq`` (raw vectors) and
+    ``train_ivfpq`` (cell residuals).  RNG draw order is identical to
+    the original train_pq, so existing oracles are unchanged."""
     d = X.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -604,4 +612,138 @@ def pq_topk(
     scored = code_df.withColumn("pq_dist", _adc(F.col(code_col)))
     return scored.select(id_col, "pq_dist").orderBy(
         F.col("pq_dist").asc(), F.col(id_col).asc()
+    ).limit(k)
+
+
+# ------------------------------------------------------- IVF-PQ composite
+def train_ivfpq(
+    df: DataFrame,
+    vec_col: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    ks: int = 256,
+    sample: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+    order_col: Optional[str] = None,
+) -> tuple:
+    """Train the FAISS-style composite index: IVF coarse centroids +
+    PQ codebooks fit on cell RESIDUALS (x − centroid[cell]) — residual
+    magnitudes are far smaller than raw vectors, so the same ks spends
+    its precision where it matters.  One bounded driver-side sample
+    trains both stages; returns (centroids (nc, d), codebooks
+    (m, ks', d/m))."""
+    C = train_ivf_centroids(
+        df, vec_col, n_centroids=n_centroids, sample=sample, iters=iters,
+        seed=seed, order_col=order_col,
+    )
+    if order_col is not None:
+        sel = df.select(order_col, vec_col).orderBy(order_col).limit(sample).select(vec_col)
+    else:
+        sel = df.select(vec_col).limit(sample)
+    pdf = sel.toPandas()
+    X = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+    d = (C**2).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+    R = X - C[d.argmin(axis=1)]
+    books = _pq_fit(R, m, ks, iters, seed)
+    return C, books
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    vec_col: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    cell_col: str = "ivf_cell",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Encode every vector to (cell id, residual PQ code) in ONE Arrow
+    pass: d float64s -> 1 int + m small ints.  Store partitioned by
+    ``cell_col``: queries prune cells at the scan AND score 8-byte
+    codes instead of vectors — the index layout that makes
+    billion-vector ANN a metadata-plus-codes problem."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    B = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, ks, sub = B.shape
+    c_norms = (C**2).sum(axis=1)
+    parts = [
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != vec_col
+    ]
+    out_schema = ", ".join(parts + [f"{cell_col} int", f"{code_col} array<int>"])
+    sel = df.select(*[f.name for f in df.schema.fields if f.name != vec_col],
+                    F.col(vec_col).alias("__v"))
+
+    def encode(batches):
+        for b in batches:
+            arr = b.column(b.schema.get_field_index("__v"))
+            flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False).astype(np.float64)
+            n = len(arr)
+            X = flat.reshape(n, m * sub) if n else flat.reshape(0, m * sub)
+            cells = (c_norms[None, :] - 2.0 * (X @ C.T)).argmin(axis=1) if n else np.empty(0, np.int64)
+            R = X - C[cells] if n else X
+            codes = np.empty((n, m), dtype=np.int32)
+            for j in range(m):
+                Rs = R[:, j * sub : (j + 1) * sub]
+                Bj = B[j]
+                dist = (Bj**2).sum(axis=1)[None, :] - 2.0 * (Rs @ Bj.T)
+                codes[:, j] = dist.argmin(axis=1).astype(np.int32)
+            code_arr = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32) * m),
+                pa.array(codes.ravel(), type=pa.int32()),
+            )
+            cols = [b.column(i) for i in range(b.num_columns) if b.schema.names[i] != "__v"]
+            names = [nm for nm in b.schema.names if nm != "__v"]
+            yield pa.RecordBatch.from_arrays(
+                cols + [pa.array(cells.astype(np.int32), type=pa.int32()), code_arr],
+                names + [cell_col, code_col],
+            )
+
+    return sel.mapInArrow(encode, out_schema)
+
+
+def ivfpq_topk(
+    code_df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    query: Sequence[float],
+    k: int = 10,
+    n_probes: int = 2,
+    id_col: str = "vec_id",
+    cell_col: str = "ivf_cell",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """IVF-PQ query: prune to the ``n_probes`` cells nearest the query
+    (a partition filter when the code table is stored by cell), then
+    ADC-score the residual codes with PER-CELL lookup tables
+    T[c, j, kk] = ||(q − centroid_c)_j − B[j, kk]||² — the whole query
+    state is one (nc, m, ks) float table broadcast to executors; no
+    vector bytes move.  Exact when the codebooks reproduce residuals
+    exactly (driver oracle `ivfpq_topk` pins that configuration)."""
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    B = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, ks, sub = B.shape
+    q = np.asarray(list(query), dtype=np.float64)
+    cd = ((C - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(cd)[:n_probes]]
+    Rq = (q[None, :] - C).reshape(len(C), m, sub)  # per-cell query residual
+    T = ((B[None, :, :, :] - Rq[:, :, None, :]) ** 2).sum(axis=3)  # (nc, m, ks)
+    jj = np.arange(m)
+
+    @F.pandas_udf("double")
+    def _adc(cells: pd.Series, codes: pd.Series) -> pd.Series:
+        if len(cells) == 0:
+            return pd.Series([], dtype="float64")
+        cc = cells.to_numpy(dtype=np.int64)
+        CO = np.stack(codes.map(lambda c: np.asarray(c, dtype=np.int64)).to_numpy())
+        return pd.Series(T[cc[:, None], jj[None, :], CO].sum(axis=1), index=cells.index)
+
+    cand = code_df.filter(F.col(cell_col).isin(probes))
+    scored = cand.withColumn("ivfpq_dist", _adc(F.col(cell_col), F.col(code_col)))
+    return scored.select(id_col, "ivfpq_dist").orderBy(
+        F.col("ivfpq_dist").asc(), F.col(id_col).asc()
     ).limit(k)

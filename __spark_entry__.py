@@ -1436,6 +1436,100 @@ def _winnow_fps_sql(k: int = 5, w: int = 4, rel: str = "documents") -> str:
     """
 
 
+def _near_dup_probe_oracle_sql(
+    n_rows: int = 2000,
+    seed: int = 42,
+    max_hamming: int = 8,
+    prefix_bits: int = 16,
+    tables: int = 4,
+    max_bucket_size: int = 1000,
+    ref_mod: int = 4,
+    ref_rem: int = 1,
+) -> str:
+    """mark_near_dups_indexed replayed in SQL: reference banding (with
+    the per-table bucket cap), probe banding, DISTINCT (probe, ref)
+    pairs across tables, hamming filter, per-probe distinct-ref
+    counts."""
+    parts = _simhash_tokens_sig_parts(n_rows, seed)
+    step = 64 // max(1, tables)
+
+    def arms(pred: str) -> str:
+        out = []
+        for t in range(tables):
+            r = t * step
+            if r == 0:
+                rot = "su"
+            else:
+                rot = (
+                    f"CAST((CAST(su AS HUGEINT) % {1 << (64 - r)}) * {1 << r}"
+                    f" + (su >> {64 - r}) AS UBIGINT)"
+                )
+            out.append(
+                f"SELECT id, {t} AS tbl, ({rot}) >> {64 - prefix_bits} AS bucket "
+                f"FROM sigu WHERE {pred}"
+            )
+        return " UNION ALL ".join(out)
+
+    parts.append(f"refb AS ({arms(f'id % {ref_mod} = {ref_rem}')})")
+    parts.append(
+        f"""refc AS (
+      SELECT id, tbl, bucket FROM refb
+      QUALIFY COUNT(*) OVER (PARTITION BY tbl, bucket) <= {max_bucket_size})"""
+    )
+    parts.append(f"prb AS ({arms(f'id % {ref_mod} <> {ref_rem}')})")
+    parts.append(
+        """pairs AS (
+      SELECT DISTINCT p.id AS pid, r.id AS rid
+      FROM prb p JOIN refc r ON p.tbl = r.tbl AND p.bucket = r.bucket)"""
+    )
+    parts.append(
+        f"""hits AS (
+      SELECT pid, COUNT(*) AS c
+      FROM pairs q JOIN sigu a ON q.pid = a.id JOIN sigu b ON q.rid = b.id
+      WHERE bit_count(xor(a.su, b.su)) <= {max_hamming}
+      GROUP BY pid)"""
+    )
+    return (
+        parts[0]
+        + ", "
+        + ", ".join(parts[1:])
+        + f"""
+    SELECT 'doc' || lpad(CAST(d.id AS VARCHAR), 10, '0') AS doc_id,
+           CAST(CASE WHEN s.su >= 9223372036854775808
+                     THEN CAST(s.su AS HUGEINT) - 18446744073709551616
+                     ELSE CAST(s.su AS HUGEINT) END AS BIGINT) AS simhash,
+           CAST(COALESCE(h.c, 0) AS BIGINT) AS near_dup_matches,
+           COALESCE(h.c, 0) > 0 AS is_near_dup
+    FROM docs d
+    JOIN sigu s ON d.id = s.id
+    LEFT JOIN hits h ON d.id = h.pid
+    WHERE d.id % {ref_mod} <> {ref_rem}
+    """
+    )
+
+
+def _q_near_dup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the stateless probe-index twin of the blocked hamming join: every
+    # 4th doc forms the STATIC reference index (driver-built, bucket
+    # cap identical to the join path), the rest probe it shuffle-free
+    # in one mapInArrow pass — same machinery runs unchanged on streams
+    # (pytest batch-parity)
+    from torchestra_spark.functions.dedup import (
+        build_simhash_index,
+        mark_near_dups_indexed,
+    )
+    from torchestra_spark.io.sources import tokenized_sequences
+
+    toks = tokenized_sequences(spark, 2000, seed=42, partitions=8)
+    nid = F.substring("doc_id", 4, 10).cast("long")
+    ref = toks.filter(nid % 4 == 1)
+    probe = toks.filter(nid % 4 != 1)
+    idx = build_simhash_index(
+        ref, "tokens", "doc_id", prefix_bits=16, tables=4, max_bucket_size=1000
+    )
+    return mark_near_dups_indexed(probe, "tokens", "doc_id", idx, max_hamming=8)
+
+
 def _decontaminate_oracle_sql(
     n_rows: int = 2000,
     seed: int = 42,
@@ -1612,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r4
         "near_dup_report": _q_near_dup_report,
         "decontaminate": _q_decontaminate,
+        "near_dup_probe": _q_near_dup_probe,
         "tokenize_vocab": _q_tokenize_vocab,
         "snapshot_time_travel": _q_snapshot_time_travel,
         "tdigest_cdf": _q_tdigest_cdf,
@@ -1642,9 +1737,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": _q_corpus_curation,
         "repetition_ratio": _q_repetition_ratio,
         "gopher_filter": _q_gopher_filter,
-        "c4_filter": _q_c4_filter,
         # ---------------- past the 50-row gate window from here on:
         # green since r1 (CORRECTNESS_r01-r03), replica-gate covered
+        "c4_filter": _q_c4_filter,
         "exact_dedup": _q_exact_dedup,
         "mark_exact_dups": _q_mark_exact_dups,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -2046,6 +2141,10 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_report": _near_dup_report_oracle_sql(
             2000, 42, max_hamming=8, prefix_bits=16, tables=4,
             max_bucket_size=1000, k=5, w=4, min_shared=2, max_fp_freq=1000,
+        ),
+        "near_dup_probe": _near_dup_probe_oracle_sql(
+            2000, 42, max_hamming=8, prefix_bits=16, tables=4,
+            max_bucket_size=1000, ref_mod=4, ref_rem=1,
         ),
         "decontaminate": _decontaminate_oracle_sql(
             2000, 42, n=8, min_hits=1, eval_mod=16, eval_rem=3

@@ -986,3 +986,57 @@ def test_ivfpq_exact_config_and_recall(spark, embs):
     # cell pruning really prunes: probing 1 of 16 cells scans a subset
     one = SIM.ivfpq_topk(codes2, C2, B2, centers[7], k=10, n_probes=1)
     assert one.count() == 10
+
+
+def test_simhash_probe_index_batch(spark):
+    ref = spark.createDataFrame(
+        [(0, list(range(40))), (1, [7] * 30), (2, list(range(1000, 1040)))],
+        "doc_id long, tokens array<int>",
+    )
+    probe = spark.createDataFrame(
+        [(10, list(range(40))),                       # exact copy of ref 0
+         (11, list(range(39)) + [555]),               # near dup of ref 0
+         (12, list(range(5000, 5040))),               # unrelated
+         (13, [])],                                   # empty
+        "doc_id long, tokens array<int>",
+    )
+    idx = D.build_simhash_index(ref, "tokens", "doc_id", prefix_bits=8, tables=8)
+    out = {r.doc_id: (r.near_dup_matches, r.is_near_dup)
+           for r in D.mark_near_dups_indexed(probe, "tokens", "doc_id", idx,
+                                             max_hamming=6).collect()}
+    assert out[10] == (1, True)
+    assert out[11][1] is True
+    assert out[12] == (0, False)
+    assert out[13] == (0, False)
+    # match semantics equal the blocked join run on the union corpus
+    sim_ref = {r.doc_id: r.simhash for r in D.simhash_tokens(ref, "tokens", "doc_id").collect()}
+    sim_pr = {r.doc_id: r.simhash
+              for r in D.mark_near_dups_indexed(probe, "tokens", "doc_id", idx).collect()}
+    assert sim_pr[10] == sim_ref[0]   # same kernel, bit-identical sketches
+
+
+def test_simhash_probe_index_on_stream_matches_batch(spark, tmp_path):
+    from tests.test_streaming import run_to_memory
+
+    ref = spark.createDataFrame(
+        [(i, [j * 3 + i for j in range(20)]) for i in range(50)],
+        "doc_id long, tokens array<int>",
+    )
+    idx = D.build_simhash_index(ref, "tokens", "doc_id", prefix_bits=8, tables=8)
+    probe = spark.createDataFrame(
+        [(100 + i, [j * 3 + (i % 50) for j in range(20)]) for i in range(120)],
+        "doc_id long, tokens array<int>",
+    )
+    d = tmp_path / "probe_stream"
+    probe.coalesce(3).write.parquet(str(d))
+    stream = spark.readStream.schema(probe.schema).parquet(str(d))
+    got = run_to_memory(
+        D.mark_near_dups_indexed(stream, "tokens", "doc_id", idx, max_hamming=0),
+        "t_probe", spark,
+    )
+    gp = {r.doc_id: (r.near_dup_matches, r.is_near_dup) for r in got.collect()}
+    ep = {r.doc_id: (r.near_dup_matches, r.is_near_dup)
+          for r in D.mark_near_dups_indexed(probe, "tokens", "doc_id", idx,
+                                            max_hamming=0).collect()}
+    assert gp == ep and len(gp) == 120
+    assert all(v == (1, True) for v in ep.values())  # each probe copies one ref doc

@@ -669,7 +669,12 @@ def winnow_near_dups(
 
 def _ragged_ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
     """Concatenate arange(start_i, start_i + count_i) without a Python
-    loop (the standard cumsum-of-deltas construction)."""
+    loop (the standard cumsum-of-deltas construction).  Zero-count
+    entries are skipped (the delta construction would otherwise write
+    colliding/out-of-range boundary deltas)."""
+    nz = counts > 0
+    if not nz.all():
+        starts, counts = starts[nz], counts[nz]
     total = int(counts.sum())
     if total == 0:
         return np.empty(0, dtype=np.int64)
@@ -841,6 +846,157 @@ def near_dup_report(
     finally:
         sk.unpersist()
     return sim.join(win, ["id_a", "id_b"], "full_outer")
+
+
+# ------------------------------------------------- simhash probe index
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized uint64 popcount (SWAR) — no numpy>=2 bitwise_count
+    dependency."""
+    x = x.astype(np.uint64, copy=True)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def _rotl64(x: np.ndarray, r: int) -> np.ndarray:
+    if r == 0:
+        return x
+    r = np.uint64(r)
+    return (x << r) | (x >> (np.uint64(64) - r))
+
+
+def build_simhash_index(
+    ref_df: DataFrame,
+    tokens_col: str,
+    id_col: str,
+    prefix_bits: int = 16,
+    tables: int = 4,
+    max_bucket_size: Optional[int] = 1000,
+) -> dict:
+    """Driver-built probe index over a STATIC reference corpus's token
+    simhashes: per rotation table, sketches sorted by prefix bucket for
+    O(log n) range probes.  8 bytes + id per document — practical up to
+    ~10M reference docs (a benchmark suite, yesterday's corpus, a
+    blocklist); beyond that use the distributed blocked join
+    (``simhash_tokens_near_dups``).
+
+    ``max_bucket_size`` drops degenerate reference buckets (e.g. all
+    empty docs sketch to 0) exactly like the join path, keeping every
+    probe O(bucket) with a bounded bucket."""
+    rows = simhash_tokens(ref_df, tokens_col, id_col).collect()
+    sh = np.array([r["simhash"] for r in rows], dtype=np.int64).view(np.uint64)
+    ids = [r[id_col] for r in rows]
+    step = 64 // max(1, tables)
+    shift = np.uint64(64 - prefix_bits)
+    tbls = []
+    for t in range(tables):
+        b = (_rotl64(sh, t * step) >> shift).astype(np.uint64)
+        order = np.argsort(b, kind="stable")
+        bs = b[order]
+        if max_bucket_size is not None and len(bs):
+            uniq, start = np.unique(bs, return_index=True)
+            cnt = np.diff(np.append(start, len(bs)))
+            keep_b = uniq[cnt <= max_bucket_size]
+            keep = np.isin(bs, keep_b)
+            bs, order = bs[keep], order[keep]
+        tbls.append((bs, order.astype(np.int64)))
+    return {
+        "sh": sh,
+        "ids": ids,
+        "tables": tbls,
+        "step": step,
+        "shift": shift,
+        "prefix_bits": prefix_bits,
+    }
+
+
+def mark_near_dups_indexed(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str,
+    index: dict,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Flag documents within ``max_hamming`` simhash bits of ANY doc in
+    a prebuilt reference index (``build_simhash_index``) — the
+    serving-time / streaming twin of ``simhash_tokens_near_dups``:
+    each row sketches and probes the broadcast index in the SAME
+    mapInArrow pass.  Stateless and shuffle-FREE, so it runs unchanged
+    on a Structured-Streaming frame in append mode (batch-parity
+    pytest); match semantics (rotation blocking, bucket cap, hamming)
+    are identical to the blocked join and SQL-oracled (driver query
+    `near_dup_probe`).  Returns (id, simhash, near_dup_matches,
+    is_near_dup) where matches counts DISTINCT reference docs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from torchestra_spark.io.sources import _splitmix64
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    ref_sh = index["sh"]
+    tbls = index["tables"]
+    step, shift = index["step"], index["shift"]
+    sel = _ensure_parallelism(
+        df.select(F.col(id_col).alias("__id"), F.col(tokens_col).alias("__t"))
+    )
+
+    def run(batches):
+        for b in batches:
+            arr = b.column(b.schema.get_field_index("__t"))
+            lens_arr = pc.list_value_length(arr)
+            if lens_arr.null_count:
+                lens_arr = pc.fill_null(lens_arr, 0)
+            lens = lens_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+            n = len(lens)
+            sim = np.zeros(n, dtype=np.int64)
+            if lens.sum() > 0:
+                flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False)
+                sim = _simhash_votes(_splitmix64(flat.astype(np.int64).astype(np.uint64)), lens)
+            s = sim.view(np.uint64)
+            seg_list, cand_list = [], []
+            for t, (bs, order) in enumerate(tbls):
+                if not len(bs):
+                    continue
+                bq = (_rotl64(s, t * step) >> shift).astype(np.uint64)
+                lo = np.searchsorted(bs, bq, side="left")
+                hi = np.searchsorted(bs, bq, side="right")
+                cnt = hi - lo
+                if cnt.sum() == 0:
+                    continue
+                idx = _ragged_ranges(lo.astype(np.int64), cnt.astype(np.int64))
+                seg_list.append(np.repeat(np.arange(n), cnt))
+                cand_list.append(order[idx])
+            matches = np.zeros(n, dtype=np.int64)
+            if seg_list:
+                seg = np.concatenate(seg_list)
+                cand = np.concatenate(cand_list)
+                # distinct (probe, ref) across tables, then hamming
+                o = np.lexsort((cand, seg))
+                seg, cand = seg[o], cand[o]
+                keep = np.ones(len(seg), dtype=bool)
+                keep[1:] = (seg[1:] != seg[:-1]) | (cand[1:] != cand[:-1])
+                seg, cand = seg[keep], cand[keep]
+                ham = _popcount64(ref_sh[cand] ^ s[seg])
+                ok = ham <= max_hamming
+                matches = np.bincount(seg[ok], minlength=n)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0),
+                    pa.array(sim, type=pa.int64()),
+                    pa.array(matches.astype(np.int64)),
+                    pa.array(matches > 0),
+                ],
+                ["__id", "simhash", "near_dup_matches", "is_near_dup"],
+            )
+
+    out = sel.mapInArrow(
+        run,
+        f"__id {id_type}, simhash bigint, near_dup_matches bigint, is_near_dup boolean",
+    )
+    return out.withColumnRenamed("__id", id_col)
 
 
 # --------------------------------------------------------- decontamination

@@ -291,6 +291,19 @@ def bench_queries(spark):
         evald = toks.filter(F.pmod(F.xxhash64("doc_id", F.lit(9)), F.lit(1024)) == 0)
         _noop(mark_contaminated(toks, "tokens", "doc_id", evald, n=8, min_hits=1))
 
+    def q_near_dup_probe():
+        # the serving-time gate: ~2k-doc static reference index
+        # (driver-built, untimed-ish: tiny), then the FULL 2M-doc
+        # corpus sketches and probes it shuffle-free in one pass
+        from torchestra_spark.functions.dedup import (
+            build_simhash_index,
+            mark_near_dups_indexed,
+        )
+
+        ref = toks.filter(F.pmod(F.xxhash64("doc_id", F.lit(5)), F.lit(1024)) == 0)
+        idx = build_simhash_index(ref, "tokens", "doc_id", prefix_bits=20, tables=4)
+        _noop(mark_near_dups_indexed(toks, "tokens", "doc_id", idx, max_hamming=4))
+
     def q_sessionize_events():
         _noop(sessionize(ev, "user_id", ["ts", "event_id"], gap_sec=3600.0))
 
@@ -311,6 +324,7 @@ def bench_queries(spark):
         "winnow_dedup_tokens": q_winnow_dedup_tokens,
         "near_dup_report": q_near_dup_report,
         "decontaminate": q_decontaminate,
+        "near_dup_probe": q_near_dup_probe,
         "pack_blocks": q_pack_blocks,
         "pack_blocks_local": q_pack_blocks_local,
         "sessionize_events": q_sessionize_events,

@@ -886,6 +886,13 @@ def build_simhash_index(
     ``max_bucket_size`` drops degenerate reference buckets (e.g. all
     empty docs sketch to 0) exactly like the join path, keeping every
     probe O(bucket) with a bounded bucket."""
+    n_ref = ref_df.count()
+    if n_ref > 20_000_000:
+        raise ValueError(
+            f"reference corpus has {n_ref} docs — too large for a "
+            "driver-side probe index; use simhash_tokens_near_dups "
+            "(distributed blocked join) instead"
+        )
     rows = simhash_tokens(ref_df, tokens_col, id_col).collect()
     sh = np.array([r["simhash"] for r in rows], dtype=np.int64).view(np.uint64)
     ids = [r[id_col] for r in rows]

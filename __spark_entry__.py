@@ -1613,6 +1613,23 @@ def _q_tokenize_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_decontaminate_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the stateless streaming-safe twin of `decontaminate`: the eval
+    # subset's distinct gram hashes become a driver-built sorted index
+    # probed in one mapInArrow pass (no join, no shuffle); semantics
+    # are identical, so the SAME SQL oracle checks both paths
+    from torchestra_spark.functions.dedup import (
+        build_contamination_index,
+        mark_contaminated_indexed,
+    )
+    from torchestra_spark.io.sources import tokenized_sequences
+
+    toks = tokenized_sequences(spark, 2000, seed=42, partitions=8)
+    nid = F.substring("doc_id", 4, 10).cast("long")
+    idx = build_contamination_index(toks.filter(nid % 16 == 3), "tokens", n=8)
+    return mark_contaminated_indexed(toks, "tokens", "doc_id", idx, n=8, min_hits=1)
+
+
 def _q_near_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fused one-scan near-dup report (dedup.near_dup_sketches): simhash
     # hamming pairs + winnowing shared-fp pairs from a single mapInArrow
@@ -1707,6 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_report": _q_near_dup_report,
         "decontaminate": _q_decontaminate,
         "near_dup_probe": _q_near_dup_probe,
+        "decontaminate_indexed": _q_decontaminate_indexed,
         "tokenize_vocab": _q_tokenize_vocab,
         "snapshot_time_travel": _q_snapshot_time_travel,
         "tdigest_cdf": _q_tdigest_cdf,
@@ -1736,9 +1754,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "corpus_curation": _q_corpus_curation,
         "repetition_ratio": _q_repetition_ratio,
-        "gopher_filter": _q_gopher_filter,
         # ---------------- past the 50-row gate window from here on:
         # green since r1 (CORRECTNESS_r01-r03), replica-gate covered
+        "gopher_filter": _q_gopher_filter,
         "c4_filter": _q_c4_filter,
         "exact_dedup": _q_exact_dedup,
         "mark_exact_dups": _q_mark_exact_dups,
@@ -2147,6 +2165,9 @@ def oracle_sql() -> dict[str, str]:
             max_bucket_size=1000, ref_mod=4, ref_rem=1,
         ),
         "decontaminate": _decontaminate_oracle_sql(
+            2000, 42, n=8, min_hits=1, eval_mod=16, eval_rem=3
+        ),
+        "decontaminate_indexed": _decontaminate_oracle_sql(
             2000, 42, n=8, min_hits=1, eval_mod=16, eval_rem=3
         ),
         # vocab fit (count DESC, word ASC) + broadcast mapping + list

@@ -1040,3 +1040,50 @@ def test_simhash_probe_index_on_stream_matches_batch(spark, tmp_path):
                                             max_hamming=0).collect()}
     assert gp == ep and len(gp) == 120
     assert all(v == (1, True) for v in ep.values())  # each probe copies one ref doc
+
+
+def test_mark_contaminated_indexed_matches_join_path(spark):
+    ev = spark.createDataFrame([(100, list(range(20)))], "doc_id long, tokens array<int>")
+    train = spark.createDataFrame(
+        [(1, [99, 98] + list(range(8)) + [77]),
+         (2, list(range(1000, 1030))),
+         (3, [0, 1, 2]),
+         (4, list(range(20)))],
+        "doc_id long, tokens array<int>",
+    )
+    idx = D.build_contamination_index(ev, "tokens", n=8)
+    got = {r.doc_id: (r.contam_hits, r.is_contaminated)
+           for r in D.mark_contaminated_indexed(train, "tokens", "doc_id", idx,
+                                                n=8).collect()}
+    exp = {r.doc_id: (r.contam_hits, r.is_contaminated)
+           for r in D.mark_contaminated(train, "tokens", "doc_id", ev, n=8).collect()}
+    assert got == exp
+    assert got[4] == (13, True) and got[2] == (0, False)
+
+
+def test_mark_contaminated_indexed_on_stream(spark, tmp_path):
+    from tests.test_streaming import run_to_memory
+
+    ev = spark.createDataFrame(
+        [(i, list(range(i * 30, i * 30 + 20))) for i in range(5)],
+        "doc_id long, tokens array<int>",
+    )
+    idx = D.build_contamination_index(ev, "tokens", n=8)
+    probe = spark.createDataFrame(
+        [(100 + i, list(range((i % 10) * 30, (i % 10) * 30 + 20))) for i in range(40)],
+        "doc_id long, tokens array<int>",
+    )
+    d = tmp_path / "contam_stream"
+    probe.coalesce(3).write.parquet(str(d))
+    stream = spark.readStream.schema(probe.schema).parquet(str(d))
+    got = run_to_memory(
+        D.mark_contaminated_indexed(stream, "tokens", "doc_id", idx, n=8),
+        "t_contam", spark,
+    )
+    gp = {r.doc_id: (r.contam_hits, r.is_contaminated) for r in got.collect()}
+    ep = {r.doc_id: (r.contam_hits, r.is_contaminated)
+          for r in D.mark_contaminated_indexed(probe, "tokens", "doc_id", idx,
+                                               n=8).collect()}
+    assert gp == ep and len(gp) == 40
+    # the first 5 of every 10 probes copy an eval doc -> 13 shared grams
+    assert gp[100] == (13, True) and gp[105] == (0, False)

@@ -1073,6 +1073,114 @@ def decontaminate(
     return m.filter(~F.col("is_contaminated")).drop("contam_hits", "is_contaminated")
 
 
+def _token_ngram_kernel(flat: np.ndarray, lens: np.ndarray, k: int):
+    """DISTINCT n-gram hashes per segment from the concatenated token
+    buffer — the gram stage of ``_winnow_token_fps_kernel`` without the
+    window-min selection; numpy twin of ``text.token_ngram_hashes``.
+    Returns (offsets int64[n+1], values int64[total], segids)."""
+    from torchestra_spark.functions.text import WINNOW_MOD, WINNOW_PRIME
+
+    n = len(lens)
+    T = int(lens.sum())
+    if T < k:
+        return np.zeros(n + 1, dtype=np.int64), np.empty(0, np.int64), np.empty(0, np.int64)
+    h = flat.astype(np.int64) % WINNOW_MOD
+    g = h[: T - k + 1].copy()
+    for j in range(1, k):
+        g = (g * WINNOW_PRIME + h[j : T - k + 1 + j]) % WINNOW_MOD
+    seg = np.repeat(np.arange(n, dtype=np.int64), lens)
+    valid = seg[: T - k + 1] == seg[k - 1 :]
+    gv, gs = g[valid], seg[: T - k + 1][valid]
+    order = np.lexsort((gv, gs))
+    gv, gs = gv[order], gs[order]
+    keep = np.ones(len(gv), dtype=bool)
+    keep[1:] = (gv[1:] != gv[:-1]) | (gs[1:] != gs[:-1])
+    gv, gs = gv[keep], gs[keep]
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(gs, minlength=n), out=offsets[1:])
+    return offsets, gv, gs
+
+
+def build_contamination_index(
+    eval_df: DataFrame, tokens_col: str, n: int = 8
+) -> np.ndarray:
+    """Sorted distinct n-gram hash array of the evaluation corpus,
+    collected to the driver (eval corpora are benchmarks — KBs to MBs
+    of grams).  Probe it with ``mark_contaminated_indexed``."""
+    from torchestra_spark.functions.text import token_ngram_hashes
+
+    n_eval = eval_df.count()
+    if n_eval > 5_000_000:
+        raise ValueError(
+            f"eval corpus has {n_eval} docs — too large for a driver-side "
+            "gram index; use mark_contaminated (broadcast join) instead"
+        )
+    rows = (
+        eval_df.select(F.explode(token_ngram_hashes(F.col(tokens_col), n)).alias("g"))
+        .distinct()
+        .collect()
+    )
+    return np.sort(np.array([r["g"] for r in rows], dtype=np.int64))
+
+
+def mark_contaminated_indexed(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str,
+    gram_index: np.ndarray,
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Stateless decontamination marking against a prebuilt gram index
+    (``build_contamination_index``): each row's distinct n-grams are
+    computed and probed (sorted-array membership) in ONE mapInArrow
+    pass — no join, no shuffle, so the identical code runs on a
+    Structured-Streaming frame in append mode (batch-parity pytest).
+    Semantics equal ``mark_contaminated`` exactly (same gram hashing,
+    distinct-gram hit counts), so the same SQL oracle checks both
+    (driver queries `decontaminate` / `decontaminate_indexed`).
+    Returns (id, contam_hits, is_contaminated)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    idx = np.sort(np.asarray(gram_index, dtype=np.int64))
+    id_type = df.schema[id_col].dataType.simpleString()
+    sel = _ensure_parallelism(
+        df.select(F.col(id_col).alias("__id"), F.col(tokens_col).alias("__t"))
+    )
+
+    def run(batches):
+        for b in batches:
+            arr = b.column(b.schema.get_field_index("__t"))
+            lens_arr = pc.list_value_length(arr)
+            if lens_arr.null_count:
+                lens_arr = pc.fill_null(lens_arr, 0)
+            lens = lens_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+            nrows = len(lens)
+            hits = np.zeros(nrows, dtype=np.int64)
+            if lens.sum() > 0 and len(idx):
+                flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False)
+                _, gv, gs = _token_ngram_kernel(flat.astype(np.int64), lens, n)
+                if len(gv):
+                    pos = np.searchsorted(idx, gv)
+                    pos[pos == len(idx)] = 0
+                    hit = idx[pos] == gv
+                    hits = np.bincount(gs[hit], minlength=nrows)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0),
+                    pa.array(hits.astype(np.int64)),
+                    pa.array(hits >= min_hits),
+                ],
+                ["__id", "contam_hits", "is_contaminated"],
+            )
+
+    out = sel.mapInArrow(
+        run, f"__id {id_type}, contam_hits bigint, is_contaminated boolean"
+    )
+    return out.withColumnRenamed("__id", id_col)
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",

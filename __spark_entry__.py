@@ -793,10 +793,14 @@ def _q_simhash_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # text simhash near-dups: since r5 the word hash is the winnow
+    # polynomial fold + splitmix64 (both SQL-replayable), so this path
+    # finally has a DuckDB twin — the last no_oracle row (r4 verdict #3)
     from torchestra_spark.functions.dedup import simhash_near_dups
 
     doc = _t(spark, sf_dir, "documents")
-    return simhash_near_dups(doc, "text", "doc_id", max_hamming=8, prefix_bits=8)
+    out = simhash_near_dups(doc, "text", "doc_id", max_hamming=8, prefix_bits=8)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def _q_simhash_tokens_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -969,6 +973,58 @@ def _q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = decode_features(raw, n_features=4, decoder="real")
     mean = F.aggregate("features", F.lit(0.0), lambda a, x: a + x.cast("double")) / F.lit(4.0)
     return out.select("doc_id", F.round(mean, 6).alias("amp_mean"))
+
+
+def _q_resize_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the media WRITE path under the driver gate (r4 verdict item 4):
+    # synthesize a deterministic (h0, w0) RGB BMP per doc, resize to
+    # 6x5 with the real nearest-neighbor resize_bmp (decode -> integer
+    # index picks -> re-encode), re-decode the resized payload, emit
+    # per-image dimensions + pixel checksum.  Every step is integer
+    # math, so the SQL oracle replays the exact resampled pixels.
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from torchestra_spark.functions.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp,
+        resize_bmp,
+    )
+
+    H, W = 6, 5
+    doc = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(4) + F.col("n_chars") % 5).alias("h0"),
+        (F.lit(4) + F.col("n_chars") % 7).alias("w0"),
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d, h0, w0 in zip(pdf["doc_id"], pdf["h0"], pdf["w0"]):
+                y, x, c = np.meshgrid(
+                    np.arange(int(h0)), np.arange(int(w0)), np.arange(3), indexing="ij"
+                )
+                px = ((int(d) * 31 + y * 7 + x * 3 + c) % 256).astype(np.uint8)
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    raw = doc.mapInPandas(enc, "doc_id bigint, payload binary")
+    rs = resize_bmp(raw, "payload", "doc_id", width=W, height=H)
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs, ws, cks = [], [], []
+            for p in pdf["payload"]:
+                px = decode_bmp_pixels(bytes(p))
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+                cks.append(int(px.astype(np.int64).sum()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "h": hs, "w": ws, "checksum": cks})
+
+    return rs.mapInPandas(dec, "doc_id bigint, h int, w int, checksum bigint")
 
 
 # ------------------------------------------------- tokenized oracle SQL
@@ -1403,13 +1459,12 @@ def _corpus_curation_oracle_sql(seed: int = 11) -> str:
     )
 
 
-def _winnow_fps_sql(k: int = 5, w: int = 4, rel: str = "documents") -> str:
-    """DuckDB CTE body replaying torchestra_spark.functions.text.
-    winnow_fingerprints exactly: polynomial token hash (acc*31+ascii
-    mod 1e9+7), seeded k-gram fold, per-w-window min, distinct."""
-    M, P = 1_000_000_007, 1_048_583
-    return f"""
-            toks AS (
+def _poly_toks_sql(rel: str = "documents") -> str:
+    """The shared ``toks`` CTE: per-document array of winnow polynomial
+    word hashes (acc*31+ascii mod 1e9+7) — torchestra_spark.functions.
+    text.token_hash over lowercase whitespace words, replayed exactly."""
+    M = 1_000_000_007
+    return f"""toks AS (
               SELECT doc_id,
                 list_transform(
                   list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''),
@@ -1417,7 +1472,94 @@ def _winnow_fps_sql(k: int = 5, w: int = 4, rel: str = "documents") -> str:
                     list_prepend(CAST(0 AS BIGINT),
                       list_transform(regexp_split_to_array(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
                     (acc, x) -> (acc*31 + x) % {M})) hs
-              FROM {rel}),
+              FROM {rel})"""
+
+
+def _simhash_text_near_dups_oracle_sql(
+    max_hamming: int = 8,
+    prefix_bits: int = 8,
+    tables: int = 4,
+    max_bucket_size: int = 1000,
+    rel: str = "documents",
+) -> str:
+    """``simhash_near_dups`` (text path) replayed in DuckDB: winnow
+    polynomial word hash -> splitmix64 spread -> per-bit ±1 vote sums ->
+    64-bit signature -> multi-table rotation blocking -> bucket-capped
+    self-join -> hamming filter.  Possible since r5 only because
+    simhash64 hashes words with the SQL-replayable token_hash fold
+    (dedup.py:simhash64) instead of xxhash64."""
+    parts = [f"WITH {_poly_toks_sql(rel)}"]
+    parts.append("th AS (SELECT doc_id, unnest(hs) AS h FROM toks)")
+    prev = "th"
+    for c, e in _sm_cols("CAST(h AS UBIGINT)", "H"):
+        parts.append(f"{c} AS (SELECT *, {e} AS {c} FROM {prev})")
+        prev = c
+    parts.append(f"hf AS (SELECT doc_id, xor(H2, H2 >> 31) AS h64 FROM {prev})")
+    parts.append(
+        """bits AS (
+      SELECT t.doc_id, CAST(b.range AS INT) AS b,
+             SUM(CASE WHEN (t.h64 >> CAST(b.range AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM hf t CROSS JOIN range(64) b GROUP BY t.doc_id, b.range)"""
+    )
+    parts.append(
+        """sig AS (
+      SELECT doc_id,
+             SUM(CASE WHEN vote > 0
+                      THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT)
+                      ELSE CAST(0 AS HUGEINT) END) AS s
+      FROM bits GROUP BY doc_id)"""
+    )
+    parts.append(
+        f"""sigu AS (
+      SELECT d.doc_id, CAST(COALESCE(g.s, 0) AS UBIGINT) AS su
+      FROM {rel} d LEFT JOIN sig g ON d.doc_id = g.doc_id)"""
+    )
+    step = 64 // max(1, tables)
+    arms = []
+    for t in range(tables):
+        r = t * step
+        if r == 0:
+            rot = "su"
+        else:
+            rot = (
+                f"CAST((CAST(su AS HUGEINT) % {1 << (64 - r)}) * {1 << r}"
+                f" + (su >> {64 - r}) AS UBIGINT)"
+            )
+        arms.append(
+            f"SELECT doc_id, {t} AS tbl, ({rot}) >> {64 - prefix_bits} AS bucket FROM sigu"
+        )
+    parts.append("banded AS (" + " UNION ALL ".join(arms) + ")")
+    parts.append(
+        f"""capped AS (
+      SELECT doc_id, tbl, bucket FROM banded
+      QUALIFY COUNT(*) OVER (PARTITION BY tbl, bucket) <= {max_bucket_size})"""
+    )
+    parts.append(
+        """prs AS (
+      SELECT DISTINCT l.doc_id AS ia, r.doc_id AS ib
+      FROM capped l JOIN capped r
+        ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.doc_id < r.doc_id)"""
+    )
+    return (
+        parts[0]
+        + ", "
+        + ", ".join(parts[1:])
+        + f"""
+    SELECT p.ia AS id_a, p.ib AS id_b,
+           CAST(bit_count(xor(a.su, b.su)) AS INT) AS hamming
+    FROM prs p JOIN sigu a ON p.ia = a.doc_id JOIN sigu b ON p.ib = b.doc_id
+    WHERE bit_count(xor(a.su, b.su)) <= {max_hamming}
+    """
+    )
+
+
+def _winnow_fps_sql(k: int = 5, w: int = 4, rel: str = "documents") -> str:
+    """DuckDB CTE body replaying torchestra_spark.functions.text.
+    winnow_fingerprints exactly: polynomial token hash (acc*31+ascii
+    mod 1e9+7), seeded k-gram fold, per-w-window min, distinct."""
+    M, P = 1_000_000_007, 1_048_583
+    return f"""
+            {_poly_toks_sql(rel)},
             grams AS (
               SELECT doc_id,
                 CASE WHEN len(hs) >= {k} THEN
@@ -1694,41 +1836,73 @@ def _q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order IS the driver-gate order: the gate checks the
-    # FIRST 50 entries only (CORRECTNESS_r02/_r03 both truncate there),
-    # so the families the gate has never seen (ANN/PQ, packing,
-    # clustering, multimodal, minhash — r3 verdict item 1) come first,
-    # new r4 queries next, and the r1-era rows that have been
-    # hash-green in every round overflow past the window (they stay
-    # covered by scripts/check_oracle.py and the sf0.1 audit).
+    # FIRST 50 entries only, so the window rotates per round (r4
+    # verdict item 2: every query gets a driver row no older than 2
+    # rounds).  r5 window = the 24 r1-era queries that overflowed in r4
+    # (scalers, lookups, sequence ops, exact dedup), the queries whose
+    # code changed this round (tokenize_vocab, index_lookup_topk via
+    # TopK, simhash_near_dups — newly SQL-oracled, dedup_clusters —
+    # pointer doubling), the new r5 query (resize_bmp), and one
+    # representative per r4 family.  The r2-r4 temporal/text rows past
+    # the window were all hash-green in CORRECTNESS_r04 and stay
+    # covered by scripts/check_oracle.py + the sf0.1 audit; they rotate
+    # back in r6.
     return {
-        # --- driver-unchecked in r3: into the window first
-        "winnow_near_dups": _q_winnow_near_dups,
+        # --- r1-era block: no driver row since r3 — window first
+        "gopher_filter": _q_gopher_filter,
+        "c4_filter": _q_c4_filter,
+        "exact_dedup": _q_exact_dedup,
+        "mark_exact_dups": _q_mark_exact_dups,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "winnow_fingerprint": _q_winnow_fingerprint,
+        "standard_score": _q_standard_score,
+        "standard_score_ddof0": _q_standard_score_ddof0,
+        "minmax_scale": _q_minmax_scale,
+        "mean_scale": _q_mean_scale,
+        "clamp_nan": _q_clamp_nan,
+        "robust_scale": _q_robust_scale,
+        "count_lookup": _q_count_lookup,
+        "count_lookup_min_threshold": _q_count_lookup_min_threshold,
+        "ratio_lookup": _q_ratio_lookup,
+        "index_lookup": _q_index_lookup,
+        "index_lookup_topk": _q_index_lookup_topk,
+        "int_count_lookup": _q_int_count_lookup,
+        "int_ratio_lookup": _q_int_ratio_lookup,
+        "int_index_lookup": _q_int_index_lookup,
+        "seq_len": _q_seq_len,
+        "seq_trunc_sum": _q_seq_trunc_sum,
+        "seq_trunc_pad": _q_seq_trunc_pad,
+        "distinct_users_per_type": _q_distinct_users_per_type,
+        # --- changed or new in r5
+        "tokenize_vocab": _q_tokenize_vocab,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "resize_bmp": _q_resize_bmp,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_keep": _q_dedup_keep,
-        "hash_bucket": _q_hash_bucket,
-        "minhash_dedup": _q_minhash_dedup,
-        "simhash_tokens": _q_simhash_tokens,
+        # --- keepers + one representative per family
+        "tdigest_cdf": _q_tdigest_cdf,
+        "snapshot_time_travel": _q_snapshot_time_travel,
         "pack_blocks": _q_pack_blocks,
-        "simhash_near_dups": _q_simhash_near_dups,
-        "simhash_tokens_near_dups": _q_simhash_tokens_near_dups,
-        "cosine_topk": _q_cosine_topk,
-        "embedding_quantize": _q_embedding_quantize,
+        "minhash_dedup": _q_minhash_dedup,
+        "winnow_near_dups": _q_winnow_near_dups,
+        "near_dup_report": _q_near_dup_report,
+        "decontaminate": _q_decontaminate,
+        "decontaminate_indexed": _q_decontaminate_indexed,
+        "near_dup_probe": _q_near_dup_probe,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "pq_topk": _q_pq_topk,
         "ivfpq_topk": _q_ivfpq_topk,
+        "cosine_topk": _q_cosine_topk,
+        "embedding_quantize": _q_embedding_quantize,
         "embedding_near_dups": _q_embedding_near_dups,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_decode_real": _q_multimodal_decode_real,
-        # --- new in r4
-        "near_dup_report": _q_near_dup_report,
-        "decontaminate": _q_decontaminate,
-        "near_dup_probe": _q_near_dup_probe,
-        "decontaminate_indexed": _q_decontaminate_indexed,
-        "tokenize_vocab": _q_tokenize_vocab,
-        "snapshot_time_travel": _q_snapshot_time_travel,
-        "tdigest_cdf": _q_tdigest_cdf,
-        # --- r2/r3 queries, still in the window
+        "hash_bucket": _q_hash_bucket,
+        "simhash_tokens": _q_simhash_tokens,
+        "simhash_tokens_near_dups": _q_simhash_tokens_near_dups,
+        # ---------------- past the 50-row gate window from here on:
+        # ALL hash-green in CORRECTNESS_r04; rotate back in r6
         "fit_update_incremental": _q_fit_update_incremental,
         "fused_lookups": _q_fused_lookups,
         "pipeline_multi_feature": _q_pipeline_multi_feature,
@@ -1754,32 +1928,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "corpus_curation": _q_corpus_curation,
         "repetition_ratio": _q_repetition_ratio,
-        # ---------------- past the 50-row gate window from here on:
-        # green since r1 (CORRECTNESS_r01-r03), replica-gate covered
-        "gopher_filter": _q_gopher_filter,
-        "c4_filter": _q_c4_filter,
-        "exact_dedup": _q_exact_dedup,
-        "mark_exact_dups": _q_mark_exact_dups,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "winnow_fingerprint": _q_winnow_fingerprint,
-        "standard_score": _q_standard_score,
-        "standard_score_ddof0": _q_standard_score_ddof0,
-        "minmax_scale": _q_minmax_scale,
-        "mean_scale": _q_mean_scale,
-        "clamp_nan": _q_clamp_nan,
-        "robust_scale": _q_robust_scale,
-        "count_lookup": _q_count_lookup,
-        "count_lookup_min_threshold": _q_count_lookup_min_threshold,
-        "ratio_lookup": _q_ratio_lookup,
-        "index_lookup": _q_index_lookup,
-        "index_lookup_topk": _q_index_lookup_topk,
-        "int_count_lookup": _q_int_count_lookup,
-        "int_ratio_lookup": _q_int_ratio_lookup,
-        "int_index_lookup": _q_int_index_lookup,
-        "seq_len": _q_seq_len,
-        "seq_trunc_sum": _q_seq_trunc_sum,
-        "seq_trunc_pad": _q_seq_trunc_pad,
-        "distinct_users_per_type": _q_distinct_users_per_type,
     }
 
 
@@ -2204,6 +2352,28 @@ def oracle_sql() -> dict[str, str]:
         "simhash_tokens_near_dups": _simhash_tokens_near_dups_oracle_sql(
             2000, 42, max_hamming=8, prefix_bits=16, tables=4, max_bucket_size=1000
         ),
+        "simhash_near_dups": _simhash_text_near_dups_oracle_sql(
+            max_hamming=8, prefix_bits=8, tables=4, max_bucket_size=1000
+        ),
+        # resize_bmp: nearest-neighbor index picks replayed as integer
+        # math over the synthesized source pixels — resized pixel
+        # (j,i,c) of doc d is (d*31 + ((j*h0)//6)*7 + ((i*w0)//5)*3 + c) % 256
+        "resize_bmp": """
+            WITH src AS (
+              SELECT doc_id, 4 + n_chars % 5 AS h0, 4 + n_chars % 7 AS w0
+              FROM documents
+            ),
+            px AS (
+              SELECT s.doc_id,
+                     (s.doc_id*31 + ((j.range*s.h0)//6)*7
+                      + ((i.range*s.w0)//5)*3 + c.range) % 256 AS v
+              FROM src s
+              CROSS JOIN range(6) j CROSS JOIN range(5) i CROSS JOIN range(3) c
+            )
+            SELECT doc_id, CAST(6 AS INT) AS h, CAST(5 AS INT) AS w,
+                   CAST(SUM(v) AS BIGINT) AS checksum
+            FROM px GROUP BY doc_id
+        """,
         "ivfpq_topk": """
             WITH q AS (
                 SELECT CAST(embedding AS DOUBLE[]) AS qv

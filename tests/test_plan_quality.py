@@ -167,3 +167,36 @@ def test_pack_default_window_not_single_partition(spark):
     win = [l for l in plan.splitlines() if "Window" in l and "__b" in l]
     assert win, f"no bucketed window in plan:\n{plan}"
     assert "SinglePartition" not in plan
+
+
+def test_vocab_topk_has_no_global_window(spark):
+    # r4 verdict item 1: TopK.prune_spark (ungrouped) and fit_vocab used
+    # a partition-less row_number window — every distinct key through
+    # ONE task.  Both must now compile to TakeOrderedAndProject (partial
+    # per-partition top-k) with no WindowExec anywhere in the fit plan.
+    from torchestra_spark.functions.text import fit_vocab
+    from torchestra_spark.operators.lookups import TopK
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    vplan = _plan(fit_vocab(docs, "text", size=100))
+    assert "TakeOrderedAndProject" in vplan
+    assert "Window" not in vplan
+
+    counts = docs.groupBy(F.col("lang").alias("key")).agg(F.count("*").alias("cnt"))
+    tplan = _plan(TopK(3).prune_spark(counts, "key", "cnt", group_cols=[]))
+    assert "TakeOrderedAndProject" in tplan
+    assert "Window" not in tplan
+
+
+def test_vocab_topk_tie_order_matches_sort_counts(spark):
+    # the orderBy+limit rewrite must keep the reference tie rule
+    # (count DESC, word ASC) bit-for-bit: rank a tiny corpus with known
+    # ties and compare against the dict-side sort_counts golden.
+    from torchestra_spark.functions.text import fit_vocab
+
+    df = spark.createDataFrame(
+        [("b b a a c",), ("c a b d",)], "text string"
+    )
+    got = {r["word"]: r["token_id"] for r in fit_vocab(df, "text", size=3).collect()}
+    # counts: a=3 b=3 c=2 d=1 -> top-3 = a(1) b(2) c(3)
+    assert got == {"a": 1, "b": 2, "c": 3}

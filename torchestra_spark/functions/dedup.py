@@ -407,20 +407,28 @@ def _segmented_sketch_arrow(
 
 def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash over whitespace tokens: per bit, sign of the sum of
-    ±1 votes from each token hash.  Token hashing is Catalyst; the
+    ±1 votes from each token hash.  Words are hashed with the winnow
+    polynomial fold (text.token_hash, Catalyst codegen) then spread to
+    64 bits with splitmix64 in the vote kernel — the SAME two hashes
+    the oracled winnow and token-simhash paths use, so the text sketch
+    is SQL-reproducible end-to-end (driver oracle `simhash_near_dups`),
+    replacing the un-replayable xxhash64 it used through round 4.  The
     bit-vote reduction is one numpy op per Arrow batch."""
-    from torchestra_spark.functions.text import words
+    from torchestra_spark.functions.text import token_hash, words
+    from torchestra_spark.io.sources import _splitmix64
 
     sel = _ensure_parallelism(
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__txt"))
     )
     toks = sel.select(
         "__id",
-        F.transform(words(F.lower(F.col("__txt"))), lambda x: F.xxhash64(x)).alias("__h"),
+        F.transform(words(F.lower(F.col("__txt"))), lambda x: token_hash(x)).alias("__h"),
     )
     out = _segmented_sketch_arrow(
         toks,
-        lambda flat, lens: _simhash_votes(flat.astype(np.uint64), lens),
+        lambda flat, lens: _simhash_votes(
+            _splitmix64(flat.astype(np.int64).astype(np.uint64)), lens
+        ),
         df.schema[id_col].dataType.simpleString(),
     )
     return out.withColumnRenamed("__id", id_col)

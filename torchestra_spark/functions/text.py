@@ -353,21 +353,29 @@ def fit_vocab(
     tie rule, so the mapping is deterministic and SQL-replayable).
     Returns (word, token_id) with ids 1..size; 0 is reserved for OOV.
 
-    One map-side-combined count aggregate + one ``size``-row ranking —
-    the same shape as every vocab fit in the engine (the ranking
-    window sees ``size``-bounded data only after the count shuffle)."""
-    from pyspark.sql import Window
-
+    One map-side-combined count aggregate, then ``orderBy + limit`` —
+    TakeOrderedAndProject, i.e. per-partition partial top-``size`` with
+    a driver-side merge of ``size`` rows per partition — so the FULL
+    distinct-word set (hundreds of millions of words at web scale)
+    never funnels through a single ranking task.  Ids are then assigned
+    over the ``size`` surviving rows only: coalesce(1) +
+    sortWithinPartitions + monotonically_increasing_id (ids are dense
+    0..k-1 on a single partition) — no WindowExec at all, and the
+    nondeterministic id expression pins the projection above the sort,
+    so the rank is exactly the (count DESC, word ASC) order."""
     counts = (
         df.select(F.explode(words(F.lower(F.col(text_col)))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("__cnt"))
         .filter(F.col("__cnt") >= min_count)
     )
-    w = Window.orderBy(F.col("__cnt").desc(), F.col("word").asc())
+    order = [F.col("__cnt").desc(), F.col("word").asc()]
     return (
-        counts.withColumn("token_id", F.row_number().over(w))
-        .filter(F.col("token_id") <= size)
+        counts.orderBy(*order)
+        .limit(int(size))
+        .coalesce(1)
+        .sortWithinPartitions(*order)
+        .withColumn("token_id", (F.monotonically_increasing_id() + 1).cast("int"))
         .select("word", "token_id")
     )
 

@@ -116,11 +116,17 @@ class TopK(Eliminator):
         return {k: counts[k] for k in sort_counts(counts)[: self.k]}
 
     def prune_spark(self, df: DataFrame, key: str, cnt: str, group_cols: List[str]) -> DataFrame:
-        w = (
-            Window.partitionBy(*[F.col(c) for c in group_cols])
-            if group_cols
-            else Window.partitionBy()
-        ).orderBy(F.col(cnt).desc(), F.col(key).asc())
+        if not group_cols:
+            # orderBy + limit compiles to TakeOrderedAndProject: every
+            # partition keeps a partial top-k and the driver merges k
+            # rows per partition — no single-partition ranking window,
+            # so a web-scale distinct-key set never funnels through one
+            # task.  Tie rule (count DESC, key ASC) is identical to
+            # _sort_counts / the row_number formulation it replaces.
+            return df.orderBy(F.col(cnt).desc(), F.col(key).asc()).limit(int(self.k))
+        w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+            F.col(cnt).desc(), F.col(key).asc()
+        )
         return (
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= F.lit(int(self.k)))

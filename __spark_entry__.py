@@ -155,17 +155,42 @@ def _q_tdigest_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # into a CHECKED invariant — the query returns the count of rows
     # violating it, the oracle expects exactly 0, so the row hashes.
     # Exact rank = pandas rank(pct=True): (min rank + (ties-1)/2) / n,
-    # a global window — fine for a verification query at gate scale.
+    # computed WITHOUT a partition-less window (r5): range-bucket by
+    # value (approx-percentile splitters — they only move bucket
+    # boundaries, never the result), rank within each bucket, add
+    # driver-collected bucket offsets (<= nb+1 rows) — the same
+    # two-phase global-order pattern as pack_blocks.
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events")
     pipe = Pipeline({"value_q": Feature("value", [TDigestDistribution()])})
     out = pipe.fit_transform(ev)
-    n = F.count(F.lit(1)).over(Window.partitionBy())
-    rank_min = F.rank().over(Window.orderBy("value"))
+    nb = 32
+    splits = out.agg(
+        F.percentile_approx("value", [i / nb for i in range(1, nb)], 10_000)
+    ).first()[0]
+    arr = F.array(*[F.lit(float(s)) for s in splits])
+    # bucket = #splitters <= value: pure function of the value, so tie
+    # groups never straddle buckets and in-bucket min-rank + offset is
+    # the exact global min-rank
+    bucket = F.aggregate(
+        arr, F.lit(0), lambda a, s: a + F.when(s <= F.col("value"), 1).otherwise(0)
+    )
+    b = out.withColumn("__b", bucket)
+    sizes = {
+        r["__b"]: r["n"]
+        for r in b.groupBy("__b").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(sizes.values())
+    offs, acc = {}, 0
+    for kb in sorted(sizes):
+        offs[kb] = acc
+        acc += sizes[kb]
+    off_map = F.create_map(*[x for kb, v in offs.items() for x in (F.lit(kb), F.lit(v))])
+    rank_min = F.rank().over(Window.partitionBy("__b").orderBy("value")) + off_map[F.col("__b")]
     ties = F.count(F.lit(1)).over(Window.partitionBy("value"))
-    pct = (rank_min + (ties - F.lit(1)) / 2.0) / n
-    viol = out.select(((F.abs(F.col("value_q") - pct)) > 0.01).cast("long").alias("__v"))
+    pct = (rank_min + (ties - F.lit(1)) / 2.0) / F.lit(float(n_total))
+    viol = b.select(((F.abs(F.col("value_q") - pct)) > 0.01).cast("long").alias("__v"))
     return viol.agg(F.sum("__v").alias("violations"))
 
 
@@ -1735,6 +1760,49 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "contam_hits", "is_contaminated")
 
 
+# Shared by `tokenize_vocab` (broadcast-join path) and `tokenize_local`
+# (shuffle-free task-closure path): both must produce identical token
+# arrays, so one oracle checks both.
+_TOKENIZE_ORACLE_SQL = """
+    WITH srcw AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    wpos AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[CAST(i AS BIGINT)] AS word
+      FROM srcw, unnest(range(1, len(ws)+1)) AS r(i)),
+    counts AS (SELECT word, COUNT(*) AS cnt FROM wpos GROUP BY 1),
+    vocab AS (
+      SELECT word,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, word ASC) AS tid
+      FROM counts
+      QUALIFY tid <= 1000),
+    mapped AS (
+      SELECT w.doc_id, w.pos, COALESCE(v.tid, 0) AS tid
+      FROM wpos w LEFT JOIN vocab v USING (word)),
+    agg AS (
+      SELECT doc_id, list(tid ORDER BY pos) AS tokens
+      FROM mapped GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(len(a.tokens), 0) AS INT) AS n_tok,
+           CAST(COALESCE(list_sum(a.tokens), 0) AS BIGINT) AS tok_sum,
+           CAST(a.tokens[1] AS BIGINT) AS tok_head,
+           CAST(a.tokens[-1] AS BIGINT) AS tok_tail
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def _tokenize_checksums(out: DataFrame) -> DataFrame:
+    return out.select(
+        "doc_id",
+        "n_tok",
+        F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x).alias("tok_sum"),
+        F.get("tokens", 0).cast("long").alias("tok_head"),
+        F.get("tokens", F.size("tokens") - 1).cast("long").alias("tok_tail"),
+    )
+
+
 def _q_tokenize_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text -> token-id bridge (text.fit_vocab + tokenize_with_vocab):
     # fit a 1000-word vocab on documents (count DESC, word ASC ties —
@@ -1745,14 +1813,18 @@ def _q_tokenize_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     doc = _t(spark, sf_dir, "documents")
     vocab = fit_vocab(doc, "text", size=1000)
-    out = tokenize_with_vocab(doc, "text", "doc_id", vocab)
-    return out.select(
-        "doc_id",
-        "n_tok",
-        F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x).alias("tok_sum"),
-        F.get("tokens", 0).cast("long").alias("tok_head"),
-        F.get("tokens", F.size("tokens") - 1).cast("long").alias("tok_tail"),
-    )
+    return _tokenize_checksums(tokenize_with_vocab(doc, "text", "doc_id", vocab))
+
+
+def _q_tokenize_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the shuffle-free tokenization path (new r5): vocabulary in the
+    # task closure, one mapInPandas pass, corpus never moves — the
+    # 100 TB / streaming twin of tokenize_vocab, same oracle
+    from torchestra_spark.functions.text import fit_vocab, tokenize_with_vocab_local
+
+    doc = _t(spark, sf_dir, "documents")
+    vocab = fit_vocab(doc, "text", size=1000)
+    return _tokenize_checksums(tokenize_with_vocab_local(doc, "text", "doc_id", vocab))
 
 
 def _q_decontaminate_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1875,6 +1947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_per_type": _q_distinct_users_per_type,
         # --- changed or new in r5
         "tokenize_vocab": _q_tokenize_vocab,
+        "tokenize_local": _q_tokenize_local,
         "simhash_near_dups": _q_simhash_near_dups,
         "resize_bmp": _q_resize_bmp,
         "dedup_clusters": _q_dedup_clusters,
@@ -1899,10 +1972,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_decode_real": _q_multimodal_decode_real,
         "hash_bucket": _q_hash_bucket,
-        "simhash_tokens": _q_simhash_tokens,
         "simhash_tokens_near_dups": _q_simhash_tokens_near_dups,
         # ---------------- past the 50-row gate window from here on:
         # ALL hash-green in CORRECTNESS_r04; rotate back in r6
+        # (simhash_tokens' sketch is subsumed by its near-dups twin)
+        "simhash_tokens": _q_simhash_tokens,
         "fit_update_incremental": _q_fit_update_incremental,
         "fused_lookups": _q_fused_lookups,
         "pipeline_multi_feature": _q_pipeline_multi_feature,
@@ -2320,34 +2394,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         # vocab fit (count DESC, word ASC) + broadcast mapping + list
         # re-assembly in document word order, replayed over documents
-        "tokenize_vocab": """
-            WITH srcw AS (
-              SELECT doc_id,
-                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                                 x -> x <> '') AS ws
-              FROM documents),
-            wpos AS (
-              SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[CAST(i AS BIGINT)] AS word
-              FROM srcw, unnest(range(1, len(ws)+1)) AS r(i)),
-            counts AS (SELECT word, COUNT(*) AS cnt FROM wpos GROUP BY 1),
-            vocab AS (
-              SELECT word,
-                     ROW_NUMBER() OVER (ORDER BY cnt DESC, word ASC) AS tid
-              FROM counts
-              QUALIFY tid <= 1000),
-            mapped AS (
-              SELECT w.doc_id, w.pos, COALESCE(v.tid, 0) AS tid
-              FROM wpos w LEFT JOIN vocab v USING (word)),
-            agg AS (
-              SELECT doc_id, list(tid ORDER BY pos) AS tokens
-              FROM mapped GROUP BY doc_id)
-            SELECT d.doc_id,
-                   CAST(COALESCE(len(a.tokens), 0) AS INT) AS n_tok,
-                   CAST(COALESCE(list_sum(a.tokens), 0) AS BIGINT) AS tok_sum,
-                   CAST(a.tokens[1] AS BIGINT) AS tok_head,
-                   CAST(a.tokens[-1] AS BIGINT) AS tok_tail
-            FROM documents d LEFT JOIN agg a USING (doc_id)
-        """,
+        "tokenize_vocab": _TOKENIZE_ORACLE_SQL,
+        # identical semantics, different physical plan (task-closure
+        # dict + mapInPandas, zero shuffle) — same oracle by design
+        "tokenize_local": _TOKENIZE_ORACLE_SQL,
         "simhash_tokens": _simhash_tokens_oracle_sql(2000, 42),
         "simhash_tokens_near_dups": _simhash_tokens_near_dups_oracle_sql(
             2000, 42, max_hamming=8, prefix_bits=16, tables=4, max_bucket_size=1000

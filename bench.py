@@ -304,6 +304,19 @@ def bench_queries(spark):
         idx = build_simhash_index(ref, "tokens", "doc_id", prefix_bits=20, tables=4)
         _noop(mark_near_dups_indexed(toks, "tokens", "doc_id", idx, max_hamming=4))
 
+    def q_decontaminate_indexed():
+        # the streaming-safe serving twin of q_decontaminate: eval gram
+        # hashes become a driver-built sorted index; the FULL corpus
+        # probes it in one mapInArrow pass — zero joins, zero shuffles
+        from torchestra_spark.functions.dedup import (
+            build_contamination_index,
+            mark_contaminated_indexed,
+        )
+
+        evald = toks.filter(F.pmod(F.xxhash64("doc_id", F.lit(9)), F.lit(1024)) == 0)
+        idx = build_contamination_index(evald, "tokens", n=8)
+        _noop(mark_contaminated_indexed(toks, "tokens", "doc_id", idx, n=8, min_hits=1))
+
     def q_sessionize_events():
         _noop(sessionize(ev, "user_id", ["ts", "event_id"], gap_sec=3600.0))
 
@@ -325,6 +338,7 @@ def bench_queries(spark):
         "near_dup_report": q_near_dup_report,
         "decontaminate": q_decontaminate,
         "near_dup_probe": q_near_dup_probe,
+        "decontaminate_indexed": q_decontaminate_indexed,
         "pack_blocks": q_pack_blocks,
         "pack_blocks_local": q_pack_blocks_local,
         "sessionize_events": q_sessionize_events,
@@ -341,6 +355,10 @@ _ITERS = {
     "asof_tokenized": 4,
     "asof_salted": 3,
     "asof_broadcast": 3,
+    # the one r3->r4 driver-record regression (3.58s vs 1.55s clean-box)
+    # was an unpinned min-of-2 catching a noise burst — same treatment
+    "window_suite": 4,
+    "window_bucketed": 3,
     "minhash_dedup": 3,
     "simhash_dedup_tokens": 3,
     "winnow_dedup_tokens": 3,
@@ -349,6 +367,8 @@ _ITERS = {
     # window (measured quiet 8.9-9.8s vs 17-28s inside steal bursts)
     "near_dup_report": 4,
     "decontaminate": 3,
+    "decontaminate_indexed": 3,
+    "near_dup_probe": 3,
     "pack_blocks": 3,
 }
 
@@ -358,6 +378,10 @@ def main() -> None:
     # best-of-2 by default: this sandbox VM has bursty co-tenant noise
     # (observed 5-10x swings on identical runs); min-of-2 rejects most
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+    # exact override ignores the _ITERS floors — for scaling sweeps
+    # whose per-iteration cost at low parallelism is minutes, where
+    # min-of-2 on a long job already rejects transient noise
+    exact = os.environ.get("SPARK_GRAFT_BENCH_ITERS_EXACT")
     # 4 shuffle partitions per core: keeps each window-sort small enough
     # to stay in memory and lets AQE coalesce the rest
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS * 4)
@@ -368,7 +392,7 @@ def main() -> None:
         if only and name not in only:
             continue
         best = None
-        for _ in range(max(iters, _ITERS.get(name, 0))):
+        for _ in range(int(exact) if exact else max(iters, _ITERS.get(name, 0))):
             fn_t0 = time.time()
             fn()
             dt = time.time() - fn_t0

@@ -58,9 +58,11 @@ def main() -> None:
     run_level(8, rows, "sessionize_events", 1)
 
     # two interleaved passes per level (fresh JVM each), min across
-    # passes: robust to transient co-tenant noise on this shared VM
+    # passes: robust to transient co-tenant noise on this shared VM.
+    # SPARK_GRAFT_SCALING_PASSES=1 for sweeps whose low-parallelism
+    # iterations run minutes each (long jobs average noise out).
     results = {}
-    for _pass in range(2):
+    for _pass in range(int(os.environ.get("SPARK_GRAFT_SCALING_PASSES", "2"))):
         for c in LEVELS:
             r = run_level(c, rows, QUERIES, iters)
             if c not in results:
@@ -92,25 +94,28 @@ def main() -> None:
             f"| {q} | " + " | ".join(f"{t:.2f}" for t in ts) + f" | {e28:.2f} | {e832:.2f} |"
         )
     asof_q = "asof_tokenized"
-    tp = {c: rows / results[c]["queries"][asof_q] for c in LEVELS}
     hw_ceiling = 2.32 / 4.0  # measured pure-CPU ceiling for 8->32 on this VM
+    if asof_q in qnames:
+        tp = {c: rows / results[c]["queries"][asof_q] for c in LEVELS}
+        lines += [
+            "",
+            "## North-rule evidence (N -> 4N)",
+            "",
+            f"- as-of (union/sort-merge) throughput: local[2] **{tp[2]:,.0f} seq/s**, "
+            f"local[8] **{tp[8]:,.0f} seq/s**, local[32] **{tp[32]:,.0f} seq/s**",
+            f"- scaling efficiency 2 -> 8 cores (N -> 4N on physical cores): "
+            f"**{(tp[8]/tp[2])/4:.2f}** (target >= 0.8)",
+            f"- 8 -> 32 crosses into hyperthreads: raw efficiency {(tp[32]/tp[8])/4:.2f} vs the "
+            f"machine's pure-CPU ceiling of {hw_ceiling:.2f} for that transition "
+            f"(chained-hash aggregate, no shuffle) — normalized to hardware: "
+            f"{((tp[32]/tp[8])/4)/hw_ceiling:.2f}",
+            "",
+            "On a real multi-executor cluster each executor brings its own memory bus, "
+            "disks and GC, so the 2->8 physical-core figure is the representative one; "
+            "the engine's shuffle volume per row is constant in cluster size "
+            "(single hash-partitioned exchange for the as-of join).",
+        ]
     lines += [
-        "",
-        "## North-rule evidence (N -> 4N)",
-        "",
-        f"- as-of (union/sort-merge) throughput: local[2] **{tp[2]:,.0f} seq/s**, "
-        f"local[8] **{tp[8]:,.0f} seq/s**, local[32] **{tp[32]:,.0f} seq/s**",
-        f"- scaling efficiency 2 -> 8 cores (N -> 4N on physical cores): "
-        f"**{(tp[8]/tp[2])/4:.2f}** (target >= 0.8)",
-        f"- 8 -> 32 crosses into hyperthreads: raw efficiency {(tp[32]/tp[8])/4:.2f} vs the "
-        f"machine's pure-CPU ceiling of {hw_ceiling:.2f} for that transition "
-        f"(chained-hash aggregate, no shuffle) — normalized to hardware: "
-        f"{((tp[32]/tp[8])/4)/hw_ceiling:.2f}",
-        "",
-        "On a real multi-executor cluster each executor brings its own memory bus, "
-        "disks and GC, so the 2->8 physical-core figure is the representative one; "
-        "the engine's shuffle volume per row is constant in cluster size "
-        "(single hash-partitioned exchange for the as-of join).",
         "",
         f"Raw: `{json.dumps(report)}`",
         "",
@@ -118,8 +123,10 @@ def main() -> None:
     ]
     # BENCH.md is a hand-curated consolidated report (multi-campaign
     # minima + recall tables + corrections) — write the sweep to a
-    # sidecar so a rerun never clobbers it
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.md"), "w") as f:
+    # sidecar so a rerun never clobbers it; custom query subsets get
+    # their own sidecar for the same reason
+    sidecar = "BENCH_SCALING.md" if asof_q in qnames else "BENCH_SCALING_custom.md"
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), sidecar), "w") as f:
         f.write("\n".join(lines) + "\n")
     print(json.dumps(report))
 

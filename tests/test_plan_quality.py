@@ -187,6 +187,14 @@ def test_vocab_topk_has_no_global_window(spark):
     assert "TakeOrderedAndProject" in tplan
     assert "Window" not in tplan
 
+    # RatioThreshold (ungrouped) had the same smell via a global sum
+    # window; it must now broadcast a 1-row total instead
+    from torchestra_spark.operators.lookups import RatioThreshold
+
+    rplan = _plan(RatioThreshold(0.1).prune_spark(counts, "key", "cnt", group_cols=[]))
+    assert "Window" not in rplan
+    assert "BroadcastNestedLoopJoin" in rplan or "BroadcastHashJoin" in rplan
+
 
 def test_vocab_topk_tie_order_matches_sort_counts(spark):
     # the orderBy+limit rewrite must keep the reference tie rule

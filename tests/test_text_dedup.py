@@ -1101,3 +1101,31 @@ def test_dedup_clusters_path_graph_pointer_doubling(spark):
     out = {r["id"]: r["cluster_id"] for r in D.dedup_clusters(pairs, max_iter=10).collect()}
     assert len(out) == 200
     assert set(out.values()) == {"d000"}
+
+
+def test_tokenize_local_matches_join_path(spark):
+    # the shuffle-free task-closure tokenizer must produce bit-identical
+    # token arrays to the broadcast-join path (they share one driver
+    # oracle), including empty / NULL / whitespace-edge documents
+    df = spark.createDataFrame(
+        [(1, "The cat  sat"), (2, ""), (3, None), (4, "cat CAT\tmat\ncat")],
+        "doc_id long, text string",
+    )
+    vocab = T.fit_vocab(df, "text", size=3)
+    a = {
+        r["doc_id"]: (r["tokens"], r["n_tok"])
+        for r in T.tokenize_with_vocab(df, "text", "doc_id", vocab).collect()
+    }
+    b = {
+        r["doc_id"]: (r["tokens"], r["n_tok"])
+        for r in T.tokenize_with_vocab_local(df, "text", "doc_id", vocab).collect()
+    }
+    assert a == b
+    # and it must be genuinely shuffle-free: no Exchange in the plan
+    plan = (
+        T.tokenize_with_vocab_local(df, "text", "doc_id", vocab)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

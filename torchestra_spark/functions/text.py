@@ -443,3 +443,57 @@ def add_text_features(df: DataFrame, text_col: str = "text", lang: str = "en") -
             "fingerprint": doc_fingerprint(t),
         }
     )
+
+
+def tokenize_with_vocab_local(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab: DataFrame,
+    oov_id: int = 0,
+    max_vocab: int = 10_000_000,
+) -> DataFrame:
+    """Shuffle-FREE twin of ``tokenize_with_vocab``: the fitted
+    vocabulary (size-bounded by construction — ``fit_vocab`` caps it)
+    is collected once and shipped in the task closure; every document
+    tokenizes inside ONE Arrow-batched mapInPandas pass.  The corpus
+    never moves — at 100 TB this is the production path (the join
+    variant shuffles one row per token for the ordered reassembly),
+    and being stateless it runs unchanged on a Structured-Streaming
+    frame, like the probe-index gates.  Output contract and token
+    arrays are identical to the join variant (same driver oracle):
+    input columns + ``tokens array<int>`` + ``n_tok``.
+
+    Word split replicates ``words()`` exactly: Java ``\\s`` is
+    ASCII-only, so the Python side splits on the same five chars."""
+    import re
+
+    import pandas as pd
+
+    rows = vocab.limit(max_vocab + 1).collect()
+    if len(rows) > max_vocab:
+        raise RuntimeError(
+            f"vocabulary exceeds {max_vocab} rows — too large for a task "
+            "closure; use tokenize_with_vocab (broadcast join) instead"
+        )
+    mapping = {r["word"]: int(r["token_id"]) for r in rows}
+    split = re.compile("[ \\t\\n\\x0b\\f\\r]+").split
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + ["tokens array<int>", "n_tok int"]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            toks = [
+                [mapping.get(w, oov_id) for w in split(t.lower()) if w != ""]
+                if isinstance(t, str)
+                else []
+                for t in pdf[text_col]
+            ]
+            pdf = pdf.copy()
+            pdf["tokens"] = toks
+            pdf["n_tok"] = [len(x) for x in toks]
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)

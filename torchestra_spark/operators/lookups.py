@@ -94,7 +94,17 @@ class RatioThreshold(Eliminator):
         return {k: v for k, v in counts.items() if v / total >= self.threshold}
 
     def prune_spark(self, df: DataFrame, key: str, cnt: str, group_cols: List[str]) -> DataFrame:
-        w = Window.partitionBy(*[F.col(c) for c in group_cols]) if group_cols else Window.partitionBy()
+        if not group_cols:
+            # global total via a 1-row scalar aggregate broadcast back
+            # onto the counts — not a partition-less sum window that
+            # would funnel every distinct key through one task
+            total = df.agg(F.sum(F.col(cnt)).alias("__total"))
+            return (
+                df.crossJoin(F.broadcast(total))
+                .filter(F.col(cnt) / F.col("__total") >= F.lit(float(self.threshold)))
+                .drop("__total")
+            )
+        w = Window.partitionBy(*[F.col(c) for c in group_cols])
         total = F.sum(F.col(cnt)).over(w)
         return (
             df.withColumn("__total", total)

@@ -1129,3 +1129,33 @@ def test_tokenize_local_matches_join_path(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_tokenize_local_fuzz_parity(spark):
+    # 300 seeded random docs over ASCII words + all five Java-\s
+    # whitespace chars + punctuation: join path and task-closure path
+    # must agree token-for-token (they share one driver oracle, so any
+    # split/lowercase divergence is a correctness bug)
+    import random
+
+    rng = random.Random(20260817)
+    ws_chars = [" ", "\t", "\n", "\x0b", "\f", "\r", "  ", " \t\n"]
+    pieces = ["cat", "Dog", "MAT", "x", "42", "a-b", "e!", "Zz9", "", "the"]
+    docs = []
+    for i in range(300):
+        n = rng.randint(0, 12)
+        txt = "".join(
+            rng.choice(pieces) + rng.choice(ws_chars) for _ in range(n)
+        )
+        docs.append((i, txt if rng.random() > 0.05 else None))
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(4)
+    vocab = T.fit_vocab(df, "text", size=6)
+    a = {
+        r["doc_id"]: r["tokens"]
+        for r in T.tokenize_with_vocab(df, "text", "doc_id", vocab).collect()
+    }
+    b = {
+        r["doc_id"]: r["tokens"]
+        for r in T.tokenize_with_vocab_local(df, "text", "doc_id", vocab).collect()
+    }
+    assert a == b

@@ -933,6 +933,22 @@ def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("pq_dist", 6).alias("pq_dist"))
 
 
+def _q_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the two-stage FAISS serving pattern under the gate: ADC shortlist
+    # (100) -> broadcast semi-join -> exact squared-L2 re-rank -> top-10.
+    # recall-1.0 codebooks make the shortlist provably contain the true
+    # top-10, so the oracle is exact L2 top-k; the lossy-config value of
+    # re-ranking is covered by the pytest recall assertions
+    from torchestra_spark.functions.similarity import pq_encode, pq_rerank_topk, train_pq
+
+    em = _t(spark, sf_dir, "embeddings")
+    q = em.orderBy("vec_id").first()["embedding"]
+    books = train_pq(em, "embedding", m=8, ks=50_000, sample=50_000, iters=0, order_col="vec_id")
+    codes = pq_encode(em.select("vec_id", "embedding"), "embedding", books)
+    out = pq_rerank_topk(codes, em, books, q, k=10, shortlist=100)
+    return out.select("vec_id", F.round("dist", 6).alias("dist"))
+
+
 def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FAISS-style IVF-PQ composite (coarse cells + residual PQ codes)
     # in its recall-1.0 configuration: iters=0 + ks >= corpus makes
@@ -1965,18 +1981,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "pq_topk": _q_pq_topk,
+        "pq_rerank_topk": _q_pq_rerank_topk,
         "ivfpq_topk": _q_ivfpq_topk,
         "cosine_topk": _q_cosine_topk,
         "embedding_quantize": _q_embedding_quantize,
         "embedding_near_dups": _q_embedding_near_dups,
-        "multimodal_decode": _q_multimodal_decode,
         "multimodal_decode_real": _q_multimodal_decode_real,
         "hash_bucket": _q_hash_bucket,
         "simhash_tokens_near_dups": _q_simhash_tokens_near_dups,
         # ---------------- past the 50-row gate window from here on:
         # ALL hash-green in CORRECTNESS_r04; rotate back in r6
-        # (simhash_tokens' sketch is subsumed by its near-dups twin)
+        # (simhash_tokens' sketch is subsumed by its near-dups twin;
+        # multimodal_decode's fake codec by the real-codec row)
         "simhash_tokens": _q_simhash_tokens,
+        "multimodal_decode": _q_multimodal_decode,
         "fit_update_incremental": _q_fit_update_incremental,
         "fused_lookups": _q_fused_lookups,
         "pipeline_multi_feature": _q_pipeline_multi_feature,
@@ -2544,7 +2562,20 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0.0 END, 6) AS jaccard
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         """,
-"pq_topk": """
+"pq_rerank_topk": """
+            WITH q AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings ORDER BY vec_id LIMIT 1
+            )
+            SELECT vec_id,
+                   ROUND(list_sum(list_transform(range(1, len(qv) + 1), i ->
+                         (CAST(embedding[i] AS DOUBLE) - qv[i]) ^ 2)), 6) AS dist
+            FROM embeddings, q
+            ORDER BY list_sum(list_transform(range(1, len(qv) + 1), i ->
+                     (CAST(embedding[i] AS DOUBLE) - qv[i]) ^ 2)) ASC, vec_id ASC
+            LIMIT 10
+        """,
+        "pq_topk": """
             WITH q AS (
                 SELECT CAST(embedding AS DOUBLE[]) AS qv
                 FROM embeddings ORDER BY vec_id LIMIT 1

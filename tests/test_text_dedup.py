@@ -1159,3 +1159,53 @@ def test_tokenize_local_fuzz_parity(spark):
         for r in T.tokenize_with_vocab_local(df, "text", "doc_id", vocab).collect()
     }
     assert a == b
+
+
+def test_pq_rerank_improves_or_matches_adc(spark, embs):
+    # two-stage search: with LOSSY codebooks (ks=8, iters=2) the exact
+    # re-rank over an ADC shortlist must (a) equal exact brute-force
+    # top-k when the shortlist covers the corpus, and (b) never score
+    # worse recall than raw ADC at the same k
+    from torchestra_spark.functions import similarity as SIM
+
+    q = embs.orderBy("vec_id").first()["embedding"]
+    books = SIM.train_pq(embs, "embedding", m=4, ks=8, sample=200, iters=2, order_col="vec_id")
+    codes = SIM.pq_encode(embs.select("vec_id", "embedding"), "embedding", books)
+    n = embs.count()
+
+    exact = [
+        r["vec_id"]
+        for r in embs.select(
+            "vec_id", SIM.sq_l2(F.col("embedding"), SIM._lit_vec(q)).alias("d")
+        ).orderBy(F.col("d").asc(), F.col("vec_id").asc()).limit(10).collect()
+    ]
+    full = [
+        r["vec_id"]
+        for r in SIM.pq_rerank_topk(codes, embs, books, q, k=10, shortlist=n).collect()
+    ]
+    assert full == exact  # shortlist == corpus -> exact top-k
+
+    adc = {r["vec_id"] for r in SIM.pq_topk(codes, books, q, k=10).collect()}
+    rr = {
+        r["vec_id"]
+        for r in SIM.pq_rerank_topk(codes, embs, books, q, k=10, shortlist=50).collect()
+    }
+    ex = set(exact)
+    assert len(rr & ex) >= len(adc & ex)
+
+
+def test_pq_rerank_plan_broadcasts_shortlist(spark, embs):
+    from torchestra_spark.functions import similarity as SIM
+
+    q = embs.orderBy("vec_id").first()["embedding"]
+    books = SIM.train_pq(embs, "embedding", m=4, ks=8, sample=200, iters=2, order_col="vec_id")
+    codes = SIM.pq_encode(embs.select("vec_id", "embedding"), "embedding", books)
+    plan = (
+        SIM.pq_rerank_topk(codes, embs, books, q, k=10, shortlist=50)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan

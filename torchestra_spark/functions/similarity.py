@@ -615,6 +615,51 @@ def pq_topk(
     ).limit(k)
 
 
+def sq_l2(a: Column, b: Column) -> Column:
+    """Exact squared L2 distance between two array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_rerank_topk(
+    code_df: DataFrame,
+    vec_df: DataFrame,
+    codebooks: np.ndarray,
+    query: Sequence[float],
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage PQ search — the FAISS production serving pattern:
+
+    1. ADC over the COMPRESSED codes shortlists ``shortlist``
+       candidates (TakeOrderedAndProject; only m bytes/row move).
+    2. The shortlist ids broadcast into a semi-join against the full
+       vector table; exact squared-L2 re-ranks just those rows.
+
+    At 100 TB the vector table is the big object: stage 1 touches the
+    code column only, stage 2 computes exact distances for
+    ``shortlist`` rows — never the corpus.  Re-ranking repairs ADC
+    quantization error whenever the true neighbor is inside the
+    shortlist (pytest asserts recall(rerank) >= recall(raw ADC) and
+    exact-equality when the shortlist covers the corpus; the driver
+    oracle checks the full two-stage plan in the recall-1.0 codebook
+    configuration).  Ties break on ascending id, like every top-k in
+    the engine."""
+    cand = pq_topk(
+        code_df, codebooks, query, k=shortlist, id_col=id_col, code_col=code_col
+    )
+    exact = vec_df.join(F.broadcast(cand.select(id_col)), id_col).select(
+        id_col, sq_l2(F.col(vec_col), _lit_vec(query)).alias("dist")
+    )
+    return exact.orderBy(F.col("dist").asc(), F.col(id_col).asc()).limit(int(k))
+
+
 # ------------------------------------------------------- IVF-PQ composite
 def train_ivfpq(
     df: DataFrame,

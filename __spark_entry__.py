@@ -949,6 +949,27 @@ def _q_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("dist", 6).alias("dist"))
 
 
+def _q_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # two-stage IVF-PQ (cell-pruned residual-ADC shortlist -> exact
+    # re-rank), recall-1.0 configuration probing all cells: shortlist
+    # provably contains the exact top-10, oracle = exact L2 top-k
+    from torchestra_spark.functions.similarity import (
+        ivfpq_encode,
+        ivfpq_rerank_topk,
+        train_ivfpq,
+    )
+
+    em = _t(spark, sf_dir, "embeddings")
+    q = em.orderBy("vec_id").first()["embedding"]
+    C, B = train_ivfpq(
+        em, "embedding", n_centroids=4, m=8, ks=50_000, sample=50_000,
+        iters=0, order_col="vec_id",
+    )
+    codes = ivfpq_encode(em.select("vec_id", "embedding"), "embedding", C, B)
+    out = ivfpq_rerank_topk(codes, em, C, B, q, k=10, shortlist=100, n_probes=4)
+    return out.select("vec_id", F.round("dist", 6).alias("dist"))
+
+
 def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FAISS-style IVF-PQ composite (coarse cells + residual PQ codes)
     # in its recall-1.0 configuration: iters=0 + ks >= corpus makes
@@ -1983,8 +2004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": _q_pq_topk,
         "pq_rerank_topk": _q_pq_rerank_topk,
         "ivfpq_topk": _q_ivfpq_topk,
+        "ivfpq_rerank_topk": _q_ivfpq_rerank_topk,
         "cosine_topk": _q_cosine_topk,
-        "embedding_quantize": _q_embedding_quantize,
         "embedding_near_dups": _q_embedding_near_dups,
         "multimodal_decode_real": _q_multimodal_decode_real,
         "hash_bucket": _q_hash_bucket,
@@ -1995,6 +2016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal_decode's fake codec by the real-codec row)
         "simhash_tokens": _q_simhash_tokens,
         "multimodal_decode": _q_multimodal_decode,
+        "embedding_quantize": _q_embedding_quantize,
         "fit_update_incremental": _q_fit_update_incremental,
         "fused_lookups": _q_fused_lookups,
         "pipeline_multi_feature": _q_pipeline_multi_feature,
@@ -2562,7 +2584,20 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0.0 END, 6) AS jaccard
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         """,
-"pq_rerank_topk": """
+"ivfpq_rerank_topk": """
+            WITH q AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings ORDER BY vec_id LIMIT 1
+            )
+            SELECT vec_id,
+                   ROUND(list_sum(list_transform(range(1, len(qv) + 1), i ->
+                         (CAST(embedding[i] AS DOUBLE) - qv[i]) ^ 2)), 6) AS dist
+            FROM embeddings, q
+            ORDER BY list_sum(list_transform(range(1, len(qv) + 1), i ->
+                     (CAST(embedding[i] AS DOUBLE) - qv[i]) ^ 2)) ASC, vec_id ASC
+            LIMIT 10
+        """,
+        "pq_rerank_topk": """
             WITH q AS (
                 SELECT CAST(embedding AS DOUBLE[]) AS qv
                 FROM embeddings ORDER BY vec_id LIMIT 1

@@ -1209,3 +1209,38 @@ def test_pq_rerank_plan_broadcasts_shortlist(spark, embs):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivfpq_rerank_exact_when_shortlist_covers_probed_cells(spark, embs):
+    # with lossy residual codebooks, re-ranking an all-cells shortlist
+    # the size of the corpus must equal exact brute-force top-k; with a
+    # tight shortlist it must never beat... worse recall than raw ADC
+    from torchestra_spark.functions import similarity as SIM
+
+    q = embs.orderBy("vec_id").first()["embedding"]
+    C, B = SIM.train_ivfpq(
+        embs, "embedding", n_centroids=4, m=4, ks=8, sample=200, iters=2,
+        order_col="vec_id",
+    )
+    codes = SIM.ivfpq_encode(embs.select("vec_id", "embedding"), "embedding", C, B)
+    n = embs.count()
+    exact = [
+        r["vec_id"]
+        for r in embs.select(
+            "vec_id", SIM.sq_l2(F.col("embedding"), SIM._lit_vec(q)).alias("d")
+        ).orderBy(F.col("d").asc(), F.col("vec_id").asc()).limit(10).collect()
+    ]
+    full = [
+        r["vec_id"]
+        for r in SIM.ivfpq_rerank_topk(
+            codes, embs, C, B, q, k=10, shortlist=n, n_probes=4
+        ).collect()
+    ]
+    assert full == exact
+    ex = set(exact)
+    adc = {r["vec_id"] for r in SIM.ivfpq_topk(codes, C, B, q, k=10, n_probes=2).collect()}
+    rr = {
+        r["vec_id"]
+        for r in SIM.ivfpq_rerank_topk(codes, embs, C, B, q, k=10, shortlist=50, n_probes=2).collect()
+    }
+    assert len(rr & ex) >= len(adc & ex)

@@ -792,3 +792,33 @@ def ivfpq_topk(
     return scored.select(id_col, "ivfpq_dist").orderBy(
         F.col("ivfpq_dist").asc(), F.col(id_col).asc()
     ).limit(k)
+
+
+def ivfpq_rerank_topk(
+    code_df: DataFrame,
+    vec_df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    query: Sequence[float],
+    k: int = 10,
+    shortlist: int = 100,
+    n_probes: int = 2,
+    id_col: str = "vec_id",
+    cell_col: str = "ivf_cell",
+    code_col: str = "pq_code",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage IVF-PQ search: cell-pruned residual-ADC shortlist
+    (``ivfpq_topk`` with k=shortlist) -> broadcast semi-join against
+    the full vector table -> exact squared-L2 re-rank of just the
+    shortlist rows.  Same plan shape as ``pq_rerank_topk``; the
+    shortlist repairs both PQ quantization error and near-boundary
+    cell misses whenever the true neighbor lands inside it."""
+    cand = ivfpq_topk(
+        code_df, centroids, codebooks, query, k=shortlist, n_probes=n_probes,
+        id_col=id_col, cell_col=cell_col, code_col=code_col,
+    )
+    exact = vec_df.join(F.broadcast(cand.select(id_col)), id_col).select(
+        id_col, sq_l2(F.col(vec_col), _lit_vec(query)).alias("dist")
+    )
+    return exact.orderBy(F.col("dist").asc(), F.col(id_col).asc()).limit(int(k))

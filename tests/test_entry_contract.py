@@ -54,5 +54,15 @@ def test_oracle_sql_references_known_views():
 def test_substantial_coverage():
     # the judge checks SURVEY §2 coverage; keep the bar explicit
     qs = E.queries()
-    assert len(qs) >= 67
-    assert len(E.oracle_sql()) >= 48
+    assert len(qs) >= 78
+    assert len(E.oracle_sql()) >= 78
+
+
+def test_zero_rows_only_queries():
+    # since r5 EVERY query is SQL-oracled (the last holdout,
+    # simhash_near_dups, got a DuckDB twin when simhash64 switched to
+    # SQL-replayable hashing) — a new query without an oracle is a
+    # regression, not a style choice
+    qs, os_ = E.queries(), E.oracle_sql()
+    missing = set(qs) - set(os_)
+    assert not missing, f"queries without oracles: {missing}"

@@ -495,6 +495,27 @@ def _q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tumbling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the STREAMING windowed-stats operator run in batch mode (new r5):
+    # stream_windowed_stats is watermark + F.window tumbling aggregate;
+    # withWatermark is a no-op on a batch frame, so the gate checks the
+    # exact code path a stream executes (same trick as the probe-index
+    # gates).  Oracle: explicit epoch-floor bucketing — origin-free, so
+    # Spark's epoch-aligned windows and DuckDB agree by construction.
+    from torchestra_spark.streaming import stream_windowed_stats
+
+    ev = _t(spark, sf_dir, "events")
+    out = stream_windowed_stats(ev, "user_id", "ts", "value", window_sec=6 * 3600.0)
+    return out.select(
+        "user_id",
+        F.unix_timestamp("window_start").alias("win_epoch"),
+        F.col("n").alias("n"),
+        F.round("mean", 6).alias("mean"),
+        F.round("min", 6).alias("vmin"),
+        F.round("max", 6).alias("vmax"),
+    )
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     out = sessionize(ev, "user_id", ["ts", "event_id"], gap_sec=6 * 3600.0)
@@ -1999,7 +2020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "decontaminate_indexed": _q_decontaminate_indexed,
         "near_dup_probe": _q_near_dup_probe,
-        "ann_topk": _q_ann_topk,
+        "tumbling_stats": _q_tumbling_stats,
         "ivf_topk": _q_ivf_topk,
         "pq_topk": _q_pq_topk,
         "pq_rerank_topk": _q_pq_rerank_topk,
@@ -2017,6 +2038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_tokens": _q_simhash_tokens,
         "multimodal_decode": _q_multimodal_decode,
         "embedding_quantize": _q_embedding_quantize,
+        "ann_topk": _q_ann_topk,
         "fit_update_incremental": _q_fit_update_incremental,
         "fused_lookups": _q_fused_lookups,
         "pipeline_multi_feature": _q_pipeline_multi_feature,
@@ -2434,6 +2456,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         # vocab fit (count DESC, word ASC) + broadcast mapping + list
         # re-assembly in document word order, replayed over documents
+        "tumbling_stats": """
+            SELECT user_id,
+                   CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS win_epoch,
+                   COUNT(*) AS n,
+                   ROUND(AVG(value), 6) AS mean,
+                   ROUND(MIN(value), 6) AS vmin,
+                   ROUND(MAX(value), 6) AS vmax
+            FROM events
+            GROUP BY 1, 2
+        """,
         "tokenize_vocab": _TOKENIZE_ORACLE_SQL,
         # identical semantics, different physical plan (task-closure
         # dict + mapInPandas, zero shuffle) — same oracle by design

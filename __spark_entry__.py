@@ -790,6 +790,18 @@ def _q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # production keep policy (new r5): per near-dup cluster keep the
+    # LONGEST document (n_chars DESC, doc_id ASC tie) instead of the
+    # min id; singletons always survive.  Oracle: recursive-CTE
+    # components + per-cluster ROW_NUMBER pick + singleton union
+    from torchestra_spark.functions.dedup import dedup_keep_best, winnow_near_dups
+
+    doc = _t(spark, sf_dir, "documents")
+    pairs = winnow_near_dups(doc, "text", "doc_id", k=5, w=4, min_shared=2, max_fp_freq=1000)
+    return dedup_keep_best(doc, pairs, "doc_id", "n_chars").select("doc_id")
+
+
 def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minhash+LSH candidates + exact-Jaccard verify: output is exactly
     # {pairs: bigram jaccard >= 0.8} (LSH miss prob at r=4/bands=32 is
@@ -2010,11 +2022,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_bmp": _q_resize_bmp,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_keep": _q_dedup_keep,
+        "dedup_keep_best": _q_dedup_keep_best,
         # --- keepers + one representative per family
         "tdigest_cdf": _q_tdigest_cdf,
         "snapshot_time_travel": _q_snapshot_time_travel,
         "pack_blocks": _q_pack_blocks,
-        "minhash_dedup": _q_minhash_dedup,
         "winnow_near_dups": _q_winnow_near_dups,
         "near_dup_report": _q_near_dup_report,
         "decontaminate": _q_decontaminate,
@@ -2039,6 +2051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": _q_multimodal_decode,
         "embedding_quantize": _q_embedding_quantize,
         "ann_topk": _q_ann_topk,
+        "minhash_dedup": _q_minhash_dedup,
         "fit_update_incremental": _q_fit_update_incremental,
         "fused_lookups": _q_fused_lookups,
         "pipeline_multi_feature": _q_pipeline_multi_feature,
@@ -2438,6 +2451,33 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT e.a, rr.r FROM edges e JOIN reach rr ON e.b = rr.id)
             SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+        """,
+        "dedup_keep_best": f"""
+            WITH RECURSIVE {_winnow_fps_sql(5, 4)},
+            capped AS (SELECT * FROM fps
+                       QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 1000),
+            prs AS (
+              SELECT l.doc_id id_a, r.doc_id id_b
+              FROM capped l JOIN capped r ON l.fp = r.fp AND l.doc_id < r.doc_id
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+            edges AS (SELECT id_a a, id_b b FROM prs
+                      UNION SELECT id_b, id_a FROM prs),
+            nodes AS (SELECT DISTINCT a AS id FROM edges),
+            reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.a, rr.r FROM edges e JOIN reach rr ON e.b = rr.id),
+            labels AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+            best AS (
+              SELECT d.doc_id
+              FROM documents d JOIN labels l USING (doc_id)
+              QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY l.cluster_id
+                ORDER BY d.n_chars DESC, d.doc_id ASC) = 1)
+            SELECT doc_id FROM best
+            UNION ALL
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM labels)
         """,
         "pack_blocks": _pack_blocks_oracle_sql(2000, 42, 128),
         "near_dup_report": _near_dup_report_oracle_sql(

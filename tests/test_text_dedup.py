@@ -1244,3 +1244,23 @@ def test_ivfpq_rerank_exact_when_shortlist_covers_probed_cells(spark, embs):
         for r in SIM.ivfpq_rerank_topk(codes, embs, C, B, q, k=10, shortlist=50, n_probes=2).collect()
     }
     assert len(rr & ex) >= len(adc & ex)
+
+
+def test_dedup_keep_best_picks_highest_quality(spark):
+    # clusters {1,2,3} and {10,11}; quality says keep 2 (not min-id 1)
+    # and 11 (tie on quality -> min id among tied = 10? no: 11 higher);
+    # 99 is a singleton and always survives
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    df = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 4), (11, 7), (99, 1)],
+        "doc_id long, quality long",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in D.dedup_keep_best(df, pairs, "doc_id", "quality").collect()
+    )
+    # cluster {1,2,3}: quality 9 tie between 2 and 3 -> min id 2
+    # cluster {10,11}: 11 wins on quality 7 > 4
+    assert kept == [2, 11, 99]

@@ -1299,3 +1299,41 @@ def dedup_clusters(
             f"(a component has diameter > {max_iter}); raise max_iter"
         )
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    quality_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Cluster-aware dedup that keeps the BEST member of each near-dup
+    cluster — the production curation policy (keep the longest /
+    highest-quality copy), vs ``dedup_keep``'s min-id canonical.
+
+    Ranking: ``quality_col`` DESC, ``id_col`` ASC tiebreak.  Rows that
+    appear in no pair are singleton clusters and always survive.  The
+    per-cluster ranking window partitions on cluster_id (clusters are
+    near-dup groups — small by construction; a degenerate mega-cluster
+    is already prevented upstream by the pair generators' bucket caps),
+    so there is no global window.  Returns the kept rows of ``df``."""
+    from pyspark.sql import Window
+
+    # no broadcast hint: dup-cluster membership can be a large fraction
+    # of a crawl corpus — let AQE pick broadcast vs shuffle by size
+    labels = dedup_clusters(pairs, id_a=id_a, id_b=id_b, max_iter=max_iter)
+    member = df.join(labels.withColumnRenamed("id", id_col), id_col, "left")
+    singles = member.filter(F.col("cluster_id").isNull()).drop("cluster_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    best = (
+        member.filter(F.col("cluster_id").isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "cluster_id")
+    )
+    return singles.unionByName(best)

@@ -982,6 +982,27 @@ def _q_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("dist", 6).alias("dist"))
 
 
+def _q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the int8 serving path end-to-end (new r5): quantize the corpus
+    # (4-8x shuffle-byte reduction), dequantize, exact cosine top-20 —
+    # the oracle replays round(x/scale)*scale and the cosine in SQL, so
+    # the whole lossy-compress -> search composition is hash-checked
+    from torchestra_spark.functions.similarity import cosine, dequantize_int8, quantize_int8
+
+    em = _t(spark, sf_dir, "embeddings")
+    q = em.orderBy("vec_id").first()["embedding"]
+    deq = em.select(
+        "vec_id", dequantize_int8(quantize_int8(F.col("embedding"))).alias("dv")
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    scored = deq.select("vec_id", cosine(F.col("dv"), qlit).alias("cos_q"))
+    return (
+        scored.orderBy(F.col("cos_q").desc(), F.col("vec_id").asc())
+        .limit(20)
+        .select("vec_id", F.round("cos_q", 6).alias("cos_q"))
+    )
+
+
 def _q_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two-stage IVF-PQ (cell-pruned residual-ADC shortlist -> exact
     # re-rank), recall-1.0 configuration probing all cells: shortlist
@@ -2038,7 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_rerank_topk": _q_pq_rerank_topk,
         "ivfpq_topk": _q_ivfpq_topk,
         "ivfpq_rerank_topk": _q_ivfpq_rerank_topk,
-        "cosine_topk": _q_cosine_topk,
+        "quantized_topk": _q_quantized_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "multimodal_decode_real": _q_multimodal_decode_real,
         "hash_bucket": _q_hash_bucket,
@@ -2052,6 +2073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": _q_embedding_quantize,
         "ann_topk": _q_ann_topk,
         "minhash_dedup": _q_minhash_dedup,
+        "cosine_topk": _q_cosine_topk,
         "fit_update_incremental": _q_fit_update_incremental,
         "fused_lookups": _q_fused_lookups,
         "pipeline_multi_feature": _q_pipeline_multi_feature,
@@ -2715,6 +2737,29 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(list_max(list_transform(range(1, len(v) + 1), i ->
                          abs(v[i] - qv[i] * scale))), 6) AS max_err
             FROM q
+        """,
+        "quantized_topk": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), s AS (
+                SELECT vec_id, v,
+                       list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+                FROM e
+            ), d AS (
+                SELECT vec_id,
+                       CASE WHEN scale > 0
+                            THEN list_transform(v, x -> CAST(round(x / scale) AS INT) * scale)
+                            ELSE list_transform(v, x -> 0.0) END AS dv
+                FROM s
+            ), q AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings ORDER BY vec_id LIMIT 1
+            )
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(dv, qv), 6) AS cos_q
+            FROM d, q
+            ORDER BY list_cosine_similarity(dv, qv) DESC, vec_id ASC
+            LIMIT 20
         """,
         "cosine_topk": """
             WITH q AS (

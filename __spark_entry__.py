@@ -2940,7 +2940,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         # minhash_dedup's LSH recall at j>=0.8 is ~1-6e-29, so its
-        # verified output equals all-pairs exact bigram jaccard >= 0.8
+        # verified output equals all-pairs exact bigram jaccard >= 0.8.
+        # The all-pairs form is computed via integer gram ids + an
+        # equi-join intersection count (i / (|A|+|B|-i)) instead of a
+        # cross join with per-pair string-list intersections: bit-
+        # identical output (a pair sharing zero grams has jaccard 0 <
+        # 0.8), but ~100x faster in DuckDB — the naive inequality join
+        # runs single-threaded over |docs|^2 string-list ops and takes
+        # tens of minutes at sf0.1.
         "minhash_dedup": """
             WITH w AS (
                 SELECT doc_id,
@@ -2953,13 +2960,25 @@ def oracle_sql() -> dict[str, str]:
                                  i -> ws[i] || ' ' || ws[i+1]))
                             ELSE [] END AS s
                 FROM w
+            ), ex AS (
+                SELECT doc_id, unnest(s) AS g FROM sh
+            ), dict AS (
+                SELECT g, CAST(row_number() OVER (ORDER BY g) - 1 AS INT) AS gid
+                FROM (SELECT DISTINCT g FROM ex)
+            ), ex2 AS (
+                SELECT e.doc_id, d.gid FROM ex e JOIN dict d USING (g)
+            ), n AS (
+                SELECT doc_id, count(*) AS nset FROM ex2 GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                FROM ex2 a JOIN ex2 b ON a.gid = b.gid AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
             ), pairs AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                       CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
-                            THEN len(list_intersect(a.s, b.s)) * 1.0
-                                 / len(list_distinct(list_concat(a.s, b.s)))
-                            ELSE 0.0 END AS jaccard
-                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                SELECT t.id_a, t.id_b,
+                       t.i * 1.0 / (na.nset + nb.nset - t.i) AS jaccard
+                FROM inter t
+                JOIN n na ON na.doc_id = t.id_a
+                JOIN n nb ON nb.doc_id = t.id_b
             )
             SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
             FROM pairs WHERE jaccard >= 0.8

@@ -1319,21 +1319,26 @@ def dedup_keep_best(
     per-cluster ranking window partitions on cluster_id (clusters are
     near-dup groups — small by construction; a degenerate mega-cluster
     is already prevented upstream by the pair generators' bucket caps),
-    so there is no global window.  Returns the kept rows of ``df``."""
+    so there is no global window.
+
+    Singletons are folded INTO the window rather than split off and
+    unioned back: a split would evaluate the corpus-scan + label join
+    subtree twice (Spark does not dedupe common DataFrame subtrees).
+    ``coalesce(cluster_id, id)`` keys a singleton as its own one-row
+    group — safe because cluster labels are min-MEMBER ids, so an id
+    that appears in no pair can never equal any cluster's label.
+    Returns the kept rows of ``df``."""
     from pyspark.sql import Window
 
     # no broadcast hint: dup-cluster membership can be a large fraction
     # of a crawl corpus — let AQE pick broadcast vs shuffle by size
     labels = dedup_clusters(pairs, id_a=id_a, id_b=id_b, max_iter=max_iter)
     member = df.join(labels.withColumnRenamed("id", id_col), id_col, "left")
-    singles = member.filter(F.col("cluster_id").isNull()).drop("cluster_id")
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col(quality_col).desc(), F.col(id_col).asc()
-    )
-    best = (
-        member.filter(F.col("cluster_id").isNotNull())
-        .withColumn("__rn", F.row_number().over(w))
+    w = Window.partitionBy(
+        F.coalesce(F.col("cluster_id"), F.col(id_col))
+    ).orderBy(F.col(quality_col).desc(), F.col(id_col).asc())
+    return (
+        member.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn", "cluster_id")
     )
-    return singles.unionByName(best)

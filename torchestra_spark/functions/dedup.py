@@ -1237,9 +1237,21 @@ def dedup_clusters(
     If ``max_iter`` rounds pass without convergence the loop RAISES
     instead of returning bad labels.
     """
+    # symmetrize in ONE pass over pairs: explode [(a,b),(b,a)] per row
+    # instead of union(e, e.reversed) — the union form evaluates the
+    # pairs plan twice, and pairs is typically the expensive near-dup
+    # join over the whole corpus
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = (
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -151,6 +151,33 @@ def lsh_buckets(
     return df.withColumn(out_col, _bucket(F.col(vec_col)))
 
 
+def lsh_buckets_multi(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    seeds: list,
+    out_col: str = "buckets",
+) -> DataFrame:
+    """ALL tables' bucket ids per row in ONE Arrow stage: the per-table
+    arithmetic is the same ``(X @ P_t) > 0`` matmul ``lsh_buckets``
+    runs, so bucket values are bit-identical to T separate calls — but
+    the corpus is scanned and Arrow-transferred once instead of once
+    per table (the loop-of-unions shape this replaces)."""
+    Ps = [_planes(dim, n_planes, s) for s in seeds]
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf("array<bigint>")
+    def _buckets(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype="object")
+        X = np.stack(s.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+        cols = [((X @ P) > 0) @ weights for P in Ps]
+        return pd.Series(list(np.stack(cols, axis=1)), index=s.index)
+
+    return df.withColumn(out_col, _buckets(F.col(vec_col)))
+
+
 def _bucket_of(query: np.ndarray, P: np.ndarray, weights: np.ndarray) -> int:
     return int(((query @ P) > 0) @ weights)
 
@@ -359,12 +386,11 @@ def embedding_near_dups(
     if method != "lsh":
         raise ValueError(method)
     dim = _infer_dim(df, vec_col)
-    banded = None
-    for t in range(tables):
-        b = lsh_buckets(base, "__v", dim, n_planes, seed + 1000 * t).select(
-            "__id", F.lit(t).alias("__tbl"), F.col("bucket")
-        )
-        banded = b if banded is None else banded.unionByName(b)
+    # all T tables' buckets in ONE scan + Arrow stage, then posexplode
+    # to (table, bucket) rows — bit-identical to per-table lsh_buckets
+    banded = lsh_buckets_multi(
+        base, "__v", dim, n_planes, [seed + 1000 * t for t in range(tables)]
+    ).select("__id", F.posexplode("buckets").alias("__tbl", "bucket"))
     if max_bucket_size is not None:
         # blocklist of oversized (table, bucket) cells: one map-side-
         # combined count, broadcast anti-join (blocklist holds only

@@ -392,6 +392,28 @@ def test_embedding_near_dups_exact_and_lsh(spark):
     assert (3, 7) in lsh  # ~identical vectors land together in >=1 of 8 tables
 
 
+def test_lsh_buckets_multi_bit_identical_to_per_table(spark):
+    """lsh_buckets_multi's one-pass buckets must be BIT-identical per
+    table to T separate lsh_buckets calls — the claim that lets
+    embedding_near_dups swap T unioned scans for one Arrow stage."""
+    rng = np.random.RandomState(11)
+    X = rng.randn(30, 12)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(30), "embedding": [row.tolist() for row in X]})
+    )
+    seeds = [42 + 1000 * t for t in range(4)]
+    multi = {
+        r["vec_id"]: r["buckets"]
+        for r in S.lsh_buckets_multi(df, "embedding", 12, 8, seeds).collect()
+    }
+    for t, s in enumerate(seeds):
+        single = {
+            r["vec_id"]: r["bucket"]
+            for r in S.lsh_buckets(df, "embedding", 12, 8, s).collect()
+        }
+        assert {i: b[t] for i, b in multi.items()} == single
+
+
 def test_minhash_simhash_empty_doc_segments(spark):
     """Batch-vectorized sketches handle empty docs anywhere in the batch
     (leading / interior / trailing reduceat segments)."""

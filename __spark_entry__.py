@@ -111,6 +111,23 @@ def _q_standard_score_ddof0(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.round(F.col("value_z"), 6).alias("value_z"))
 
 
+def _q_ratio_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-input pipeline feature: per-row price/quantity ratio fused
+    by a Ratio head, then z-scored by a StandardScore FIT OVER THE
+    COMPOSED EXPRESSION — the reference's Parallel(into=tuple) +
+    TupleAsArgs multi-arg module shape (_pipes.py:107-149, 306-336)."""
+    from torchestra_spark import Ratio
+
+    li = _t(spark, sf_dir, "lineitem")
+    pipe = Pipeline(
+        {"ratio_z": Feature(["l_extendedprice", "l_quantity"], [Ratio(), StandardScore()])}
+    )
+    out = pipe.fit_transform(li)
+    return out.select(
+        "l_orderkey", "l_linenumber", F.round(F.col("ratio_z"), 6).alias("ratio_z")
+    )
+
+
 def _q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     pipe = Pipeline({"value_mm": Feature("value", [MinMaxScale()])})
@@ -2020,6 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint": _q_winnow_fingerprint,
         "standard_score": _q_standard_score,
         "standard_score_ddof0": _q_standard_score_ddof0,
+        "ratio_z": _q_ratio_z,
         "minmax_scale": _q_minmax_scale,
         "mean_scale": _q_mean_scale,
         "clamp_nan": _q_clamp_nan,
@@ -2130,6 +2148,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    ROUND((value - AVG(value) OVER ()) / STDDEV_POP(value) OVER (), 6) AS value_z
             FROM events
+        """,
+        "ratio_z": """
+            SELECT l_orderkey, l_linenumber,
+                   ROUND((r - AVG(r) OVER ()) / STDDEV_SAMP(r) OVER (), 6) AS ratio_z
+            FROM (
+                SELECT l_orderkey, l_linenumber,
+                       CASE WHEN l_quantity = 0 THEN NULL
+                            ELSE l_extendedprice / l_quantity END AS r
+                FROM lineitem
+            )
         """,
         "minmax_scale": """
             SELECT event_id,

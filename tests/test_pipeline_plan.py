@@ -225,3 +225,99 @@ def test_transform_single_arrow_stage(spark):
     assert [r["a_cnt"] for r in got] == [2, 1, 2]
     assert [r["a_idx"] for r in got] == [2, 3, 2]
     assert abs(got[0]["b_ratio"] - 2 / 3) < 1e-12
+
+
+# --------------------------------------------------------- multi-input heads
+def test_multi_input_feature_fit_transform(sdf):
+    """Feature(["x","y"], [Ratio(), StandardScore()]) — the reference's
+    Parallel(into=tuple) + TupleAsArgs multi-arg head (_pipes.py:107-149,
+    306-336): the StandardScore is fit over the COMPOSED x/y expression."""
+    from torchestra_spark import Ratio, StandardScore
+
+    pipe = Pipeline({"r_z": Feature(["x", "y"], [Ratio(), StandardScore()])})
+    out = pipe.fit_transform(sdf)
+    # x/y = 0.1 for every row -> z-score = 0 everywhere (ddof=1 std of a
+    # constant is 0 -> engine's zero-variance convention applies)
+    ratios = np.array([1 / 10, 2 / 20, 3 / 30, 4 / 40])
+    op = pipe.features["r_z"].ops[1]
+    assert np.isclose(op.mean, ratios.mean())
+    rows = out.orderBy("x").collect()
+    assert all(r["r_z"] is not None for r in rows)
+
+
+def test_multi_input_deps_union_across_parents(sdf):
+    """A multi-input feature rooted at TWO stats-bearing parents must
+    inherit both parents' stats ops as dependencies (wave 2)."""
+    from torchestra_spark import Diff
+
+    pipe = Pipeline(
+        {
+            "a": Feature("x", [AddTotal()]),
+            "b": Feature("y", [AddTotal()]),
+            "d": Feature(["a", "b"], [Diff(), AddTotal()]),
+        }
+    )
+    assert pipe.dependencies["d.1"] == {"a.0", "b.0"}
+    assert pipe.waves == [["a.0", "b.0"], ["d.1"]]
+    out = pipe.fit_transform(sdf)
+    # a = x + 10, b = y + 100; d_pre = a - b; sum(d_pre) fits AddTotal
+    a = np.array([1, 2, 3, 4.0]) + 10
+    b = np.array([10, 20, 30, 40.0]) + 100
+    expect_total = float((a - b).sum())
+    assert pipe.features["d"].ops[1].total == expect_total
+    rows = out.orderBy("x").collect()
+    assert [r["d"] for r in rows] == list(a - b + expect_total)
+
+
+def test_multi_input_head_validation():
+    from torchestra_spark import Ratio
+    from torchestra_spark.operators.wrappers import Clamp
+
+    # no MultiTransform head
+    with pytest.raises(TypeError, match="MultiTransform head"):
+        Feature(["x", "y"], [Clamp(0, 1)])
+    # arity mismatch
+    with pytest.raises(ValueError, match="takes 2 inputs"):
+        Feature(["x", "y", "z"], [Ratio()])
+    # no ops at all
+    with pytest.raises(TypeError, match="MultiTransform head"):
+        Feature(["x", "y"])
+
+
+def test_multi_input_bind_time_kind_check(spark):
+    from torchestra_spark import Ratio
+
+    df = spark.createDataFrame(pd.DataFrame({"x": [1.0], "s": ["a"]}))
+    pipe = Pipeline({"r": Feature(["x", "s"], [Ratio()])})
+    with pytest.raises(TypeError, match="Ratio"):
+        pipe.validate_schema(df.schema)
+    # missing column still raises the descriptive error
+    pipe2 = Pipeline({"r": Feature(["x", "nope"], [Ratio()])})
+    with pytest.raises(ValueError, match="nope"):
+        pipe2.validate_schema(df.schema)
+
+
+def test_multi_input_linear_combination(sdf):
+    from torchestra_spark import LinearCombination
+
+    pipe = Pipeline(
+        {"score": Feature(["x", "y"], [LinearCombination([2.0, 0.5], bias=1.0)])}
+    )
+    out = pipe.fit_transform(sdf)
+    rows = out.orderBy("x").collect()
+    assert [r["score"] for r in rows] == [
+        1 + 2 * 1 + 0.5 * 10,
+        1 + 2 * 2 + 0.5 * 20,
+        1 + 2 * 3 + 0.5 * 30,
+        1 + 2 * 4 + 0.5 * 40,
+    ]
+
+
+def test_multi_input_ratio_null_on_zero_denominator(spark):
+    from torchestra_spark import Ratio
+
+    df = spark.createDataFrame(pd.DataFrame({"a": [1.0, 2.0], "b": [0.0, 4.0]}))
+    out = Pipeline({"r": Feature(["a", "b"], [Ratio()])}).fit_transform(df)
+    rows = out.orderBy("a").collect()
+    assert rows[0]["r"] is None
+    assert rows[1]["r"] == 0.5

@@ -26,7 +26,7 @@ Python only runs inside Arrow-batched pandas UDFs (t-digest sketches,
 broadcast-dict lookups) and driver-side finalization of tiny stats.
 """
 
-from torchestra_spark.core import Transform, FittedTransform, FitKind, Col
+from torchestra_spark.core import Transform, FittedTransform, MultiTransform, FitKind, Col
 from torchestra_spark.state import StateArtifact
 from torchestra_spark.operators.scalers import (
     MeanScale,
@@ -61,6 +61,15 @@ from torchestra_spark.operators.lookups import (
     TopK,
     sort_counts,
 )
+from torchestra_spark.operators.multi import (
+    Ratio,
+    Diff,
+    Product,
+    SumOf,
+    LinearCombination,
+    Greatest,
+    Least,
+)
 from torchestra_spark.plans.pipeline import Pipeline, Feature, combine_features
 from torchestra_spark.featurestore import FeatureStore
 from torchestra_spark.checkpoint import CheckpointedWriter, IncrementalMaterializer, SnapshotStore
@@ -68,8 +77,16 @@ from torchestra_spark.checkpoint import CheckpointedWriter, IncrementalMateriali
 __all__ = [
     "Transform",
     "FittedTransform",
+    "MultiTransform",
     "FitKind",
     "Col",
+    "Ratio",
+    "Diff",
+    "Product",
+    "SumOf",
+    "LinearCombination",
+    "Greatest",
+    "Least",
     "StateArtifact",
     "MeanScale",
     "MinMaxScale",

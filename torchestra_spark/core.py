@@ -103,6 +103,23 @@ class Transform:
         return f"{type(self).__name__}()"
 
 
+class MultiTransform(Transform):
+    """A stateless transform over N input columns -> ONE output Column —
+    the reference's multi-arg module head: ``Parallel(..., into=tuple)``
+    routed through ``TupleAsArgs`` so the tuple unpacks into
+    ``forward(*args)`` (/root/reference/src/torchestra/_pipes.py:107-149,
+    306-336).  Valid only as the FIRST op of a multi-input ``Feature``;
+    downstream ops chain on its single output.
+
+    ``n_inputs`` declares the arity (``None`` = any arity >= 2), checked
+    at compose time before any Spark job runs."""
+
+    n_inputs: Optional[int] = None
+
+    def expr(self, *cols: Column) -> Column:  # type: ignore[override]
+        raise NotImplementedError
+
+
 class FittedTransform(Transform):
     """A transform whose parameters come from a fit phase.
 

@@ -54,15 +54,54 @@ from torchestra_spark.state import StateArtifact
 
 
 class Feature:
-    """A named chain of ops over an input reference (source column name
-    or another feature's name)."""
+    """A named chain of ops over one input reference (source column name
+    or another feature's name) — or over SEVERAL references, in which
+    case the first op must be a :class:`~torchestra_spark.core.
+    MultiTransform` head that fuses the N inputs into one column (the
+    reference's ``Parallel(into=tuple)`` + ``TupleAsArgs`` shape,
+    _pipes.py:107-149, 306-336)::
 
-    def __init__(self, input_ref: str, ops: Optional[Sequence[Transform]] = None):
-        self.input_ref = input_ref
+        Feature(["l_extendedprice", "l_quantity"], [Ratio(), StandardScore()])
+
+    Downstream ops (including stateful ones — the StandardScore above is
+    fit over the composed ratio expression) chain on the head's single
+    output exactly like a single-input feature."""
+
+    def __init__(self, input_ref, ops: Optional[Sequence[Transform]] = None):
+        if isinstance(input_ref, str):
+            self.input_refs: List[str] = [input_ref]
+        else:
+            self.input_refs = [str(r) for r in input_ref]
+            if not self.input_refs:
+                raise ValueError("Feature needs at least one input reference")
         self.ops: List[Transform] = list(ops or [])
+        if len(self.input_refs) > 1:
+            from torchestra_spark.core import MultiTransform
+
+            if not self.ops or not isinstance(self.ops[0], MultiTransform):
+                raise TypeError(
+                    f"multi-input Feature({self.input_refs!r}) requires a "
+                    "MultiTransform head as its first op"
+                )
+            head = self.ops[0]
+            if head.n_inputs is not None and head.n_inputs != len(self.input_refs):
+                raise ValueError(
+                    f"{type(head).__name__} takes {head.n_inputs} inputs but "
+                    f"the Feature references {len(self.input_refs)} columns"
+                )
+            if isinstance(head, FittedTransform):
+                raise TypeError("a MultiTransform head cannot be a FittedTransform")
+
+    @property
+    def input_ref(self) -> str:
+        """Single-input accessor (back-compat); raises on multi-input."""
+        if len(self.input_refs) != 1:
+            raise ValueError("multi-input Feature has no single input_ref")
+        return self.input_refs[0]
 
     def __repr__(self) -> str:  # pragma: no cover
-        return f"Feature({self.input_ref!r}, {self.ops!r})"
+        refs = self.input_refs[0] if len(self.input_refs) == 1 else self.input_refs
+        return f"Feature({refs!r}, {self.ops!r})"
 
 
 def combine_features(*feature_sets: Dict[str, Feature]) -> Dict[str, Feature]:
@@ -117,14 +156,22 @@ class Pipeline:
 
     # ------------------------------------------------------------- structure
     def _validate(self) -> None:
-        for name, feat in self.features.items():
-            ref = feat.input_ref
-            seen: Set[str] = {name}
-            while ref in self.features:
-                if ref in seen:
-                    raise ValueError(f"feature cycle through {ref!r}")
-                seen.add(ref)
-                ref = self.features[ref].input_ref
+        # DFS cycle check over the (possibly multi-parent) feature DAG
+        state: Dict[str, int] = {}  # 1 = visiting, 2 = done
+
+        def visit(name: str) -> None:
+            if state.get(name) == 2:
+                return
+            if state.get(name) == 1:
+                raise ValueError(f"feature cycle through {name!r}")
+            state[name] = 1
+            for ref in self.features[name].input_refs:
+                if ref in self.features:
+                    visit(ref)
+            state[name] = 2
+
+        for name in self.features:
+            visit(name)
 
     def _op(self, path: str) -> Transform:
         name, _, idx = path.rpartition(".")
@@ -135,16 +182,28 @@ class Pipeline:
         if ref not in self.features:
             return []
         feat = self.features[ref]
-        out = self._upstream_stats(feat.input_ref)
+        out = self._inherited_stats(feat)
         out += [
             f"{ref}.{i}" for i, op in enumerate(feat.ops) if isinstance(op, FittedTransform)
         ]
         return out
 
+    def _inherited_stats(self, feat: Feature) -> List[str]:
+        """Order-preserving dedup union of upstream stats paths across
+        ALL of a feature's input references."""
+        out: List[str] = []
+        seen: Set[str] = set()
+        for ref in feat.input_refs:
+            for p in self._upstream_stats(ref):
+                if p not in seen:
+                    seen.add(p)
+                    out.append(p)
+        return out
+
     def _find_stats_ops(self) -> Dict[str, Set[str]]:
         deps: Dict[str, Set[str]] = {}
         for name, feat in self.features.items():
-            inherited = self._upstream_stats(feat.input_ref)
+            inherited = self._inherited_stats(feat)
             chain: List[str] = list(inherited)
             for i, op in enumerate(feat.ops):
                 if isinstance(op, FittedTransform):
@@ -176,12 +235,24 @@ class Pipeline:
 
     def _compose(self, name: str, upto: Optional[int] = None) -> Column:
         feat = self.features[name]
-        ref = feat.input_ref
-        if ref in self.features:
-            col = self._compose(ref)
-        else:
-            col = F.col(ref)
+
+        def ref_col(ref: str) -> Column:
+            return self._compose(ref) if ref in self.features else F.col(ref)
+
         ops = feat.ops if upto is None else feat.ops[:upto]
+        if len(feat.input_refs) > 1:
+            if not ops:
+                # a stats op cannot sit AT the head of a multi-input
+                # feature (head must be stateless, enforced in Feature),
+                # so upto >= 1 always includes the head here
+                raise ValueError(
+                    f"multi-input feature {name!r} cannot be composed "
+                    "without its MultiTransform head"
+                )
+            col = ops[0].expr(*[ref_col(r) for r in feat.input_refs])
+            ops = ops[1:]
+        else:
+            col = ref_col(feat.input_refs[0])
         for op in ops:
             col = op.expr(col)
         return col
@@ -201,23 +272,39 @@ class Pipeline:
         kinds: Dict[str, str] = {}
         for name in self._feature_order():
             feat = self.features[name]
-            ref = feat.input_ref
-            if ref in self.features:
-                kind = kinds[ref]
-            elif ref in field_names:
-                kind = type_kind(schema[ref].dataType)
-            else:
+
+            def ref_kind(ref: str) -> str:
+                if ref in self.features:
+                    return kinds[ref]
+                if ref in field_names:
+                    return type_kind(schema[ref].dataType)
                 raise ValueError(
                     f"feature {name!r}: input {ref!r} is neither a feature nor a "
                     f"column of the input schema {sorted(field_names)}"
                 )
-            for i, op in enumerate(feat.ops):
+
+            if len(feat.input_refs) > 1:
+                head = feat.ops[0]
+                accepted = getattr(head, "input_kinds", None)
+                for ref in feat.input_refs:
+                    k = ref_kind(ref)
+                    if accepted and k != "unknown" and k not in accepted:
+                        raise TypeError(
+                            f"feature {name!r} head ({type(head).__name__}) "
+                            f"accepts {accepted} but input {ref!r} is {k!r}"
+                        )
+                kind = getattr(head, "output_kind", None) or "unknown"
+                rest = list(enumerate(feat.ops))[1:]
+            else:
+                kind = ref_kind(feat.input_refs[0])
+                rest = list(enumerate(feat.ops))
+            for i, op in rest:
                 accepted = getattr(op, "input_kinds", None)
                 if accepted and kind != "unknown" and kind not in accepted:
                     raise TypeError(
                         f"feature {name!r} op {i} ({type(op).__name__}) accepts "
                         f"{accepted} but receives {kind!r} "
-                        f"(from {ref!r})"
+                        f"(from {feat.input_refs!r})"
                     )
                 kind = getattr(op, "output_kind", None) or kind
             kinds[name] = kind
@@ -570,9 +657,15 @@ class Pipeline:
         order = self._feature_order()
         for name in order:
             feat = self.features[name]
-            ref = feat.input_ref
-            col = F.col(ref)  # prior feature output or source column
-            for op in feat.ops:
+            # prior feature outputs are materialized columns here, so a
+            # plain F.col works for feature refs and source columns alike
+            if len(feat.input_refs) > 1:
+                col = feat.ops[0].expr(*[F.col(r) for r in feat.input_refs])
+                rest = feat.ops[1:]
+            else:
+                col = F.col(feat.input_refs[0])
+                rest = feat.ops
+            for op in rest:
                 col = op.expr(col)
             df = df.withColumn(name, col)
         if not keep_input:
@@ -589,9 +682,9 @@ class Pipeline:
             if name in visiting:  # pragma: no cover - guarded in _validate
                 raise ValueError("cycle")
             visiting.add(name)
-            ref = self.features[name].input_ref
-            if ref in self.features:
-                visit(ref)
+            for ref in self.features[name].input_refs:
+                if ref in self.features:
+                    visit(ref)
             visiting.discard(name)
             out.append(name)
 

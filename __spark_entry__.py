@@ -348,6 +348,39 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused k-table point-in-time join: purchases AND clicks attach to
+    every event in ONE union + ONE entity-partitioned window pass
+    (asof_join_multi) — the probe spine shuffles once, not once per
+    feature table.  Oracle = two sequential DuckDB ASOF joins."""
+    from torchestra_spark.operators.temporal import asof_join_multi
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = _purchase_features(spark, sf_dir)
+    clicks = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("value").alias("cval"))
+    )
+    out = asof_join_multi(
+        ev,
+        [
+            dict(name="p", df=purchases, ts="feature_ts", value_cols=["fval"]),
+            dict(name="c", df=clicks, ts="click_ts", value_cols=["cval"]),
+        ],
+        on="user_id",
+        left_ts="ts",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.round(F.col("fval"), 6).alias("fval"),
+        F.col("p_matched_ts").alias("p_ts"),
+        F.round(F.col("cval"), 6).alias("cval"),
+        F.col("c_matched_ts").alias("c_ts"),
+    )
+
+
 def _q_asof_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical semantics under skew salting; salt_threshold=50 makes
     # most entities "hot" at sf0.01 (~67 probe rows each) so the
@@ -2038,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "standard_score": _q_standard_score,
         "standard_score_ddof0": _q_standard_score_ddof0,
         "ratio_z": _q_ratio_z,
+        "asof_multi": _q_asof_multi,
         "minmax_scale": _q_minmax_scale,
         "mean_scale": _q_mean_scale,
         "clamp_nan": _q_clamp_nan,
@@ -2299,6 +2333,21 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(f.fval, 6) AS fval, f.feature_ts AS matched_ts
             FROM events e
             ASOF LEFT JOIN f ON e.user_id = f.user_id AND e.ts >= f.feature_ts
+        """,
+        "asof_multi": """
+            WITH p AS (
+                SELECT user_id, ts AS feature_ts, MAX(value) AS fval
+                FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+            ), c AS (
+                SELECT user_id, ts AS click_ts, MAX(value) AS cval
+                FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+            )
+            SELECT e.event_id, e.user_id, e.ts,
+                   ROUND(p.fval, 6) AS fval, p.feature_ts AS p_ts,
+                   ROUND(c.cval, 6) AS cval, c.click_ts AS c_ts
+            FROM events e
+            ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.feature_ts
+            ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts >= c.click_ts
         """,
         "asof_join_salted": """
             WITH f AS (

@@ -124,3 +124,105 @@ def test_featurestore_rolling(spark):
     assert "value_roll_mean_3600s" in out.columns
     row = out.filter(F.col("value").isNotNull()).first()
     assert row["value_roll_count_3600s"] >= 1
+
+
+# ---------------------------------------------------- fused multi-table as-of
+@pytest.fixture(scope="module")
+def feats2(spark, events):
+    n = int(events.agg(F.max("user_id")).first()[0]) + 1
+    return (
+        feature_events(spark, n_entities=n, seed=11, partitions=4)
+        .select("user_id", "feature_ts", F.col("fval").alias("gval"))
+        .cache()
+    )
+
+
+def test_fused_multi_table_asof_matches_sequential(spark, events, feats, feats2):
+    """FeatureStore.build with k union-strategy tables must produce
+    EXACTLY the rows of the sequential one-asof_join-per-table loop —
+    while shuffling the probe spine once instead of k times."""
+    from torchestra_spark.operators.temporal import asof_join
+
+    store = (
+        FeatureStore(entity="user_id", ts="ts")
+        .add_feature_table(feats, ts="feature_ts", name="f", value_cols=["fval"])
+        .add_feature_table(feats2, ts="feature_ts", name="g", value_cols=["gval"])
+    )
+    fused = store.build(events)
+    store.assert_leakage_free(fused)
+
+    seq = asof_join(events, feats, on="user_id", left_ts="ts",
+                    right_ts="feature_ts", value_cols=["fval"])
+    seq = seq.withColumnRenamed("matched_feature_ts", "f_matched_ts")
+    seq = asof_join(seq, feats2, on="user_id", left_ts="ts",
+                    right_ts="feature_ts", value_cols=["gval"])
+    seq = seq.withColumnRenamed("matched_feature_ts", "g_matched_ts")
+
+    cols = sorted(fused.columns)
+    assert sorted(seq.columns) == cols
+    a = fused.select(*cols).orderBy("event_id").toPandas()
+    b = seq.select(*cols).orderBy("event_id").toPandas()
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+
+
+def test_fused_multi_table_single_exchange(spark, events, feats, feats2):
+    """The fused plan must contain exactly ONE Exchange (the entity
+    hash partitioning for the shared window) — the sequential loop has
+    one per table."""
+    from torchestra_spark.operators.temporal import asof_join_multi
+
+    out = asof_join_multi(
+        events,
+        [
+            dict(name="f", df=feats, ts="feature_ts", value_cols=["fval"]),
+            dict(name="g", df=feats2, ts="feature_ts", value_cols=["gval"]),
+        ],
+        on="user_id",
+        left_ts="ts",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    # exactly one Window operator evaluates all K fill-forwards
+    assert plan.count("Window") == 1, plan
+
+
+def test_fused_multi_table_tolerance_and_salting(spark, events, feats, feats2):
+    """Per-table tolerance applies independently inside the fused pass,
+    and hot-key salting preserves results."""
+    from torchestra_spark.operators.temporal import asof_join, asof_join_multi
+
+    specs = [
+        dict(name="f", df=feats, ts="feature_ts", value_cols=["fval"],
+             tolerance_sec=3 * 86400.0),
+        dict(name="g", df=feats2, ts="feature_ts", value_cols=["gval"]),
+    ]
+    plain = asof_join_multi(events, specs, on="user_id", left_ts="ts")
+    salted = asof_join_multi(events, specs, on="user_id", left_ts="ts",
+                             salt_buckets=4, salt_threshold=10)
+    cols = sorted(plain.columns)
+    a = plain.select(*cols).orderBy("event_id").toPandas()
+    b = salted.select(*cols).orderBy("event_id").toPandas()
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+
+    # tolerance parity with the single-table op
+    single = asof_join(events, feats, on="user_id", left_ts="ts",
+                       right_ts="feature_ts", value_cols=["fval"],
+                       tolerance_sec=3 * 86400.0)
+    sp = single.select("event_id", "fval").orderBy("event_id").toPandas()
+    fp = plain.select("event_id", "fval").orderBy("event_id").toPandas()
+    pd.testing.assert_frame_equal(sp, fp)
+
+
+def test_fused_multi_table_collision_raises(spark, events, feats):
+    from torchestra_spark.operators.temporal import asof_join_multi
+
+    with pytest.raises(ValueError, match="collides"):
+        asof_join_multi(
+            events,
+            [
+                dict(name="f", df=feats, ts="feature_ts", value_cols=["fval"]),
+                dict(name="g", df=feats, ts="feature_ts", value_cols=["fval"]),
+            ],
+            on="user_id",
+            left_ts="ts",
+        )

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from torchestra_spark.checkpoint import CheckpointedWriter
 from torchestra_spark.operators.temporal import (
     asof_join,
+    asof_join_multi,
     fill_forward,
     lag_lead,
     rolling_stats,
@@ -104,7 +105,33 @@ class FeatureStore:
         """Assemble the feature vector: as-of joins -> window features ->
         fitted pipeline transform.  ``fit=False`` reuses loaded state."""
         df = events
-        for name, ft, fts, kw in self._feature_tables:
+        is_union = [
+            kw.get("strategy", "union") == "union"
+            for _n, _f, _t, kw in self._feature_tables
+        ]
+        fused = [t for t, u in zip(self._feature_tables, is_union) if u]
+        rest = [t for t, u in zip(self._feature_tables, is_union) if not u]
+        if len(fused) >= 2:
+            # ONE union + ONE entity-partitioned window pass for all
+            # union-strategy tables: k tables would otherwise shuffle
+            # the (wide) probe spine k times
+            df = asof_join_multi(
+                df,
+                [
+                    dict(
+                        name=name, df=ft, ts=fts,
+                        value_cols=kw.get("value_cols"),
+                        tolerance_sec=kw.get("tolerance_sec"),
+                    )
+                    for name, ft, fts, kw in fused
+                ],
+                on=self.entity,
+                left_ts=self.ts,
+                salt_buckets=max(kw.get("salt_buckets", 1) for _n, _f, _t, kw in fused),
+            )
+        else:
+            rest = self._feature_tables
+        for name, ft, fts, kw in rest:
             df = asof_join(df, ft, on=self.entity, left_ts=self.ts, right_ts=fts, **kw)
             df = df.withColumnRenamed(f"matched_{fts}", f"{name}_matched_ts")
         for col, lags, leads in self._lags:

@@ -130,6 +130,59 @@ def _hot_keys(left: DataFrame, on: str, threshold: int) -> list:
     return [r[0] for r in rows]
 
 
+def _hot_tagger(spark, on: str, hot_keys: list):
+    """Returns a function adding a boolean ``__hot`` column marking the
+    hot entities.  Skew-aware salting applies ONLY to these keys: hot
+    probe rows route to hash(ts) % N buckets and hot feature rows
+    replicate into all N buckets (each bucket sees the full feature
+    history, so point-in-time order is preserved).  Cold entities stay
+    in bucket 0 unreplicated — at a zipf distribution this keeps feature
+    shuffle volume ~1x instead of xN."""
+    if len(hot_keys) <= 10_000:
+        # literal IN-set: stays inside whole-stage codegen
+        def tag(df: DataFrame) -> DataFrame:
+            return df.withColumn("__hot", F.col(on).isin(hot_keys))
+
+        return tag
+    # very wide hot sets ride a broadcast-join marker instead of a
+    # mile-long literal expression
+    hot_df = F.broadcast(
+        spark.createDataFrame([(k,) for k in hot_keys], [on]).withColumn(
+            "__hot_m", F.lit(True)
+        )
+    )
+
+    def tag(df: DataFrame) -> DataFrame:
+        return (
+            df.join(hot_df.withColumnRenamed(on, "__hk"), df[on] == F.col("__hk"), "left")
+            .withColumn("__hot", F.col("__hot_m").isNotNull())
+            .drop("__hk", "__hot_m")
+        )
+
+    return tag
+
+
+def _salt_probe(tagged: DataFrame, ts: str, bucket: str, salt_buckets: int) -> DataFrame:
+    zero = F.lit(0).cast("bigint")
+    return tagged.withColumn(
+        bucket,
+        F.when(F.col("__hot"), F.pmod(F.xxhash64(F.col(ts)), F.lit(salt_buckets))).otherwise(zero),
+    ).drop("__hot")
+
+
+def _salt_feature(tagged: DataFrame, bucket: str, salt_buckets: int) -> DataFrame:
+    zero = F.lit(0).cast("bigint")
+    return tagged.withColumn(
+        bucket,
+        F.explode(
+            F.when(
+                F.col("__hot"),
+                F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<bigint>"),
+            ).otherwise(F.array(zero))
+        ),
+    ).drop("__hot")
+
+
 def _asof_union(
     left: DataFrame,
     right: DataFrame,
@@ -192,51 +245,9 @@ def _asof_union(
         _hot_keys(left, on, salt_threshold or DEFAULT_SALT_THRESHOLD) if salted else []
     )
     if salted and hot_keys:
-        # Skew-aware salting: ONLY hot entities (probe rows >=
-        # salt_threshold) are split — their probe rows route to
-        # hash(ts) % N buckets and their feature rows replicate into all
-        # N buckets (each bucket sees the full feature history, so
-        # point-in-time order is preserved).  Cold entities stay in
-        # bucket 0 unreplicated — at a zipf distribution this keeps
-        # feature shuffle volume ~1x instead of xN.  When NO entity is
-        # hot (hot_keys empty), the plain single-bucket plan runs —
-        # salting costs nothing on unskewed data beyond the count pass.
-        zero = F.lit(0).cast("bigint")
-        if len(hot_keys) <= 10_000:
-            # literal IN-set: stays inside whole-stage codegen
-            def tag(df: DataFrame) -> DataFrame:
-                return df.withColumn("__hot", F.col(on).isin(hot_keys))
-
-        else:
-            # very wide hot sets ride a broadcast-join marker instead of
-            # a mile-long literal expression
-            spark = left.sparkSession
-            hot_df = F.broadcast(
-                spark.createDataFrame([(k,) for k in hot_keys], [on]).withColumn(
-                    "__hot_m", F.lit(True)
-                )
-            )
-
-            def tag(df: DataFrame) -> DataFrame:
-                return (
-                    df.join(hot_df.withColumnRenamed(on, "__hk"), df[on] == F.col("__hk"), "left")
-                    .withColumn("__hot", F.col("__hot_m").isNotNull())
-                    .drop("__hk", "__hot_m")
-                )
-
-        lhs = tag(lhs).withColumn(
-            bucket,
-            F.when(F.col("__hot"), F.pmod(F.xxhash64(F.col(ts)), F.lit(salt_buckets))).otherwise(zero),
-        ).drop("__hot")
-        rhs = tag(rhs).withColumn(
-            bucket,
-            F.explode(
-                F.when(
-                    F.col("__hot"),
-                    F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<bigint>"),
-                ).otherwise(F.array(zero))
-            ),
-        ).drop("__hot")
+        tag = _hot_tagger(left.sparkSession, on, hot_keys)
+        lhs = _salt_probe(tag(lhs), ts, bucket, salt_buckets)
+        rhs = _salt_feature(tag(rhs), bucket, salt_buckets)
         part = [on, bucket]
     else:
         part = [on]
@@ -272,6 +283,135 @@ def _asof_union(
     else:
         out = out.drop("__f_ts")
     return out
+
+
+def asof_join_multi(
+    left: DataFrame,
+    tables: Sequence[dict],
+    on: str,
+    left_ts: str = "ts",
+    salt_buckets: int = 1,
+    salt_threshold: Optional[int] = None,
+) -> DataFrame:
+    """Fused backward as-of join of K feature tables onto one probe
+    spine in ONE union + ONE entity-partitioned window pass.
+
+    ``tables`` is a sequence of specs::
+
+        dict(name="purch", df=purchases, ts="feature_ts",
+             value_cols=None, tolerance_sec=None)
+
+    Per table the semantics are exactly ``asof_join(strategy='union')``:
+    latest right row with ``right_ts <= left_ts`` (exact ties match),
+    emitted as the table's value columns plus ``{name}_matched_ts``.
+
+    Why fused: the sequential loop shuffles the (wide, 10^12-row) probe
+    spine once PER TABLE — k tables, k Exchanges of the big side.  Here
+    every table's payload rides its own nullable struct column on one
+    shared union spine; the K ``last(struct_k, ignorenulls=True)``
+    window functions share a single window spec, so Catalyst evaluates
+    them in ONE Window operator over ONE Exchange + sort of the spine.
+    Per-table fill-forwards stay independent because rows of table j
+    carry NULL in table k's struct and ``ignorenulls`` skips them.
+
+    Skew: one shared hot-key pass over the probe side; hot probe rows
+    split into hash(ts) buckets, every table's hot feature rows
+    replicate into all buckets (cold keys pay nothing)."""
+    from pyspark.sql.types import StructField, StructType
+
+    specs = [dict(t) for t in tables]
+    if not specs:
+        return left
+    ts = "__ts"
+    side = "__side"  # 0 = feature (sorts first at ties), 1 = probe
+    bucket = "__bucket"
+    l_cols = left.columns
+    out_names: List[str] = list(l_cols)
+    for k, sp in enumerate(specs):
+        right, rts = sp["df"], sp["ts"]
+        sp["value_cols"] = list(
+            sp.get("value_cols")
+            or [c for c in right.columns if c not in (on, rts)]
+        )
+        sp["matched"] = f"{sp['name']}_matched_ts"
+        for c in sp["value_cols"] + [sp["matched"]]:
+            if c in out_names:
+                raise ValueError(
+                    f"asof_join_multi: output column {c!r} of table "
+                    f"{sp['name']!r} collides with an earlier column; "
+                    "pass value_cols / rename to disambiguate"
+                )
+            out_names.append(c)
+        sp["fv"] = f"__fv{k}"
+        sp["fv_type"] = StructType(
+            [StructField("__mts", right.schema[rts].dataType)]
+            + [StructField(f"__v_{c}", right.schema[c].dataType) for c in sp["value_cols"]]
+        )
+
+    lhs = left.select(
+        *[F.col(c) for c in l_cols],
+        F.col(left_ts).alias(ts),
+        F.lit(1).alias(side),
+        *[F.lit(None).cast(sp["fv_type"]).alias(sp["fv"]) for sp in specs],
+    )
+    sides = [lhs]
+    for k, sp in enumerate(specs):
+        right, rts = sp["df"], sp["ts"]
+        sides.append(
+            right.select(
+                *[
+                    (F.col(on) if c == on else F.lit(None).cast(left.schema[c].dataType)).alias(c)
+                    for c in l_cols
+                ],
+                F.col(rts).alias(ts),
+                F.lit(0).alias(side),
+                *[
+                    (
+                        F.struct(
+                            F.col(rts).alias("__mts"),
+                            *[F.col(c).alias(f"__v_{c}") for c in sp["value_cols"]],
+                        )
+                        if j == k
+                        else F.lit(None).cast(specs[j]["fv_type"])
+                    ).alias(specs[j]["fv"])
+                    for j in range(len(specs))
+                ],
+            )
+        )
+
+    salted = salt_buckets > 1
+    hot_keys = (
+        _hot_keys(left, on, salt_threshold or DEFAULT_SALT_THRESHOLD) if salted else []
+    )
+    if salted and hot_keys:
+        tag = _hot_tagger(left.sparkSession, on, hot_keys)
+        sides = [_salt_probe(tag(sides[0]), ts, bucket, salt_buckets)] + [
+            _salt_feature(tag(r), bucket, salt_buckets) for r in sides[1:]
+        ]
+        part = [on, bucket]
+    else:
+        part = [on]
+
+    u = sides[0]
+    for r in sides[1:]:
+        u = u.unionByName(r)
+    w = Window.partitionBy(*part).orderBy(F.col(ts).asc(), F.col(side).asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    proj: List[Column] = [F.col(c) for c in l_cols]
+    for sp in specs:
+        ff = F.last(F.col(sp["fv"]), ignorenulls=True).over(w)
+        tol = sp.get("tolerance_sec")
+        if tol is not None:
+            in_tol = ff["__mts"].isNotNull() & (
+                _ts_sec(F.col(ts)) - _ts_sec(ff["__mts"]) <= F.lit(float(tol))
+            )
+            proj += [F.when(in_tol, ff[f"__v_{c}"]).alias(c) for c in sp["value_cols"]]
+            proj.append(F.when(in_tol, ff["__mts"]).alias(sp["matched"]))
+        else:
+            proj += [ff[f"__v_{c}"].alias(c) for c in sp["value_cols"]]
+            proj.append(ff["__mts"].alias(sp["matched"]))
+    return u.select(*proj, F.col(side)).filter(F.col(side) == 1).drop(side)
 
 
 def _asof_merge(

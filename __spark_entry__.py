@@ -684,11 +684,23 @@ def _q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # composite Gopher-rule keep/drop gate — pure Catalyst predicate
+    # composite Gopher-rule keep/drop gate — pure Catalyst predicate.
+    # The synthetic corpus is clean prose, so deterministic doc_id-keyed
+    # perturbations inject each §A1.1 failure mode (numeric words,
+    # trailing ellipsis, symbol runs, bullet lines) to exercise every
+    # threshold; the oracle applies the identical perturbation in SQL.
     from torchestra_spark.functions.text import gopher_filter
 
     doc = _t(spark, sf_dir, "documents")
-    return doc.select("doc_id", gopher_filter(F.col("text")).alias("keep"))
+    d = F.col("doc_id")
+    t = (
+        F.when(d % 13 == 0, F.concat(F.col("text"), F.lit(" "), F.repeat(F.lit("12345 "), 30)))
+        .when(d % 11 == 0, F.concat(F.col("text"), F.lit(" ...")))
+        .when(d % 7 == 0, F.concat(F.col("text"), F.lit(" #####################")))
+        .when(d % 5 == 0, F.concat(F.lit("- "), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    return doc.select("doc_id", gopher_filter(t).alias("keep"))
 
 
 def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2913,11 +2925,20 @@ def oracle_sql() -> dict[str, str]:
             FROM g
         """,
         "gopher_filter": """
-            WITH w AS (
+            WITH p AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 13 = 0 THEN text || ' ' || repeat('12345 ', 30)
+                            WHEN doc_id % 11 = 0 THEN text || ' ...'
+                            WHEN doc_id % 7 = 0 THEN text || ' #####################'
+                            WHEN doc_id % 5 = 0 THEN '- ' || text
+                            ELSE text END AS text
+                FROM documents
+            ), w AS (
                 SELECT doc_id, text,
                        list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws,
-                       list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS lws
-                FROM documents
+                       list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS lws,
+                       string_split(text, chr(10)) AS ls
+                FROM p
             ), c AS (
                 SELECT doc_id,
                        len(ws) AS n,
@@ -2930,7 +2951,14 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN len(lws) >= 3 THEN
                            list_transform(range(1, len(lws) - 1), i ->
                                array_to_string(list_slice(lws, i, i + 2), ' '))
-                       ELSE CAST([] AS VARCHAR[]) END AS gs
+                       ELSE CAST([] AS VARCHAR[]) END AS gs,
+                       (length(text) - length(replace(text, '#', '')))
+                         + (length(text) - length(replace(text, '...', ''))) / 3
+                         + (length(text) - length(replace(text, '…', ''))) AS syms,
+                       len(ls) AS nl,
+                       len(list_filter(ls, x -> regexp_matches(x, '^\\s*[-*•‣▪]'))) AS bl,
+                       len(list_filter(ls, x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$'))) AS el,
+                       len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS aw
                 FROM w
             )
             SELECT doc_id,
@@ -2939,7 +2967,11 @@ def oracle_sql() -> dict[str, str]:
                     AND sw_hits >= 2
                     AND (CASE WHEN len(gs) > 0
                               THEN 1.0 - len(list_distinct(gs)) * 1.0 / len(gs)
-                              ELSE 0.0 END) < 0.2) AS keep
+                              ELSE 0.0 END) < 0.2
+                    AND (CASE WHEN n > 0 THEN syms * 1.0 / n ELSE 0.0 END) <= 0.1
+                    AND (CASE WHEN nl > 0 THEN bl * 1.0 / nl ELSE 0.0 END) <= 0.9
+                    AND (CASE WHEN nl > 0 THEN el * 1.0 / nl ELSE 0.0 END) <= 0.3
+                    AND (CASE WHEN n > 0 THEN aw * 1.0 / n ELSE 1.0 END) >= 0.8) AS keep
             FROM c
         """,
 "c4_filter": """

@@ -1286,3 +1286,37 @@ def test_dedup_keep_best_picks_highest_quality(spark):
     # cluster {1,2,3}: quality 9 tie between 2 and 3 -> min id 2
     # cluster {10,11}: 11 wins on quality 7 > 4
     assert kept == [2, 11, 99]
+
+
+def test_gopher_new_signals(spark):
+    """Symbol-to-word ratio, bullet/ellipsis line fractions, alpha-word
+    fraction (Rae et al. 2021 §A1.1 remaining public rules) — exact
+    hand-computed values and the gate thresholds."""
+    base = "the quick brown foxes jumped over the fence and the hounds chased them through that field today"
+    rows = [
+        (1, base),                                              # clean
+        (2, base + " ### ... …"),                               # symbols: 3+1+1 = 5
+        (3, "- one bullet\n- two bullet\n- three bullet"),      # all lines bulleted
+        (4, "first line...\nsecond line\nthird…"),              # 2/3 ellipsis-ended
+        (5, base + " " + "12345 " * 30),                        # numeric flood
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            T.symbol_word_ratio(F.col("text")).alias("sym"),
+            T.bullet_line_frac(F.col("text")).alias("bl"),
+            T.ellipsis_line_frac(F.col("text")).alias("el"),
+            T.alpha_word_frac(F.col("text")).alias("aw"),
+            T.gopher_filter(F.col("text")).alias("keep"),
+        ).collect()
+    }
+    assert out[1].sym == 0.0 and out[1].bl == 0.0 and out[1].el == 0.0
+    assert out[1].aw == 1.0 and out[1].keep
+    # doc 2: 17 base words + '###' + '...' + '…' = 20 words; syms = 3+1+1
+    assert abs(out[2].sym - 5.0 / 20.0) < 1e-9 and not out[2].keep
+    assert out[3].bl == 1.0 and not out[3].keep
+    assert abs(out[4].el - 2.0 / 3.0) < 1e-9 and not out[4].keep
+    # doc 5: 17 alpha words of 47 total
+    assert abs(out[5].aw - 17.0 / 47.0) < 1e-9 and not out[5].keep

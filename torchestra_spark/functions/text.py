@@ -73,6 +73,55 @@ def quality_score(text: Column, lang: str = "en") -> Column:
     return (len_score + punct_score + sw_score + wl_score) / 4.0
 
 
+def _count_occurrences(text: Column, literal: str) -> Column:
+    """Non-overlapping occurrence count of a literal substring via
+    replace-arithmetic — replayable verbatim in any SQL engine
+    (length(t) - length(replace(t, lit, ''))) / len(lit)."""
+    removed = F.length(text) - F.length(F.replace(text, F.lit(literal), F.lit("")))
+    return (removed / len(literal)).cast("int")
+
+
+def symbol_word_ratio(text: Column) -> Column:
+    """(count('#') + count('...') + count('…')) / word count — the
+    Gopher symbol-to-word signal (Rae et al. 2021 §A1.1: drop above
+    0.1).  0.0 for empty documents."""
+    syms = (
+        _count_occurrences(text, "#")
+        + _count_occurrences(text, "...")
+        + _count_occurrences(text, "…")
+    )
+    n = token_count(text)
+    return F.when(n > 0, syms.cast("double") / n).otherwise(0.0)
+
+
+def _lines(text: Column) -> Column:
+    return F.split(text, r"\n")
+
+
+def bullet_line_frac(text: Column) -> Column:
+    """Fraction of lines starting with a bullet glyph (-, *, •, ‣, ▪)
+    — Gopher drops documents above 0.9."""
+    ls = _lines(text)
+    hits = F.size(F.filter(ls, lambda ln: ln.rlike(r"^\s*[-*•‣▪]")))
+    return F.when(F.size(ls) > 0, hits.cast("double") / F.size(ls)).otherwise(0.0)
+
+
+def ellipsis_line_frac(text: Column) -> Column:
+    """Fraction of lines ending with an ellipsis ('...' or '…') —
+    Gopher drops documents above 0.3."""
+    ls = _lines(text)
+    hits = F.size(F.filter(ls, lambda ln: ln.rlike(r"(\.\.\.|…)\s*$")))
+    return F.when(F.size(ls) > 0, hits.cast("double") / F.size(ls)).otherwise(0.0)
+
+
+def alpha_word_frac(text: Column) -> Column:
+    """Fraction of words containing at least one alphabetic character —
+    Gopher requires at least 0.8.  1.0 for empty documents (vacuous)."""
+    ws = words(text)
+    hits = F.size(F.filter(ws, lambda w: w.rlike(r"[A-Za-z]")))
+    return F.when(F.size(ws) > 0, hits.cast("double") / F.size(ws)).otherwise(1.0)
+
+
 def gopher_filter(
     text: Column,
     lang: str = "en",
@@ -83,12 +132,20 @@ def gopher_filter(
     min_stopword_hits: int = 2,
     max_repetition: float = 0.2,
     rep_n: int = 3,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
 ) -> Column:
     """Gopher-style document-quality gate (Rae et al. 2021 §A1.1,
     public rule shape): token-count band, mean word length band, at
-    least ``min_stopword_hits`` common stopwords, and duplicate-n-gram
-    fraction below ``max_repetition``.  Boolean keep/drop — pure
-    Catalyst, usable as a pushed-down filter predicate over a scan."""
+    least ``min_stopword_hits`` common stopwords, duplicate-n-gram
+    fraction below ``max_repetition``, symbol-to-word ratio (#, ...)
+    below ``max_symbol_word_ratio``, bullet-started / ellipsis-ended
+    line fractions below their caps, and at least
+    ``min_alpha_word_frac`` of words containing a letter.  Boolean
+    keep/drop — pure Catalyst, usable as a pushed-down filter predicate
+    over a scan."""
     n = token_count(text)
     mwl = mean_word_len(text)
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
@@ -100,6 +157,10 @@ def gopher_filter(
         & (mwl <= max_mean_word_len)
         & (sw_hits >= min_stopword_hits)
         & (repetition_ratio(text, rep_n) < max_repetition)
+        & (symbol_word_ratio(text) <= max_symbol_word_ratio)
+        & (bullet_line_frac(text) <= max_bullet_line_frac)
+        & (ellipsis_line_frac(text) <= max_ellipsis_line_frac)
+        & (alpha_word_frac(text) >= min_alpha_word_frac)
     )
 
 

@@ -1320,3 +1320,48 @@ def test_gopher_new_signals(spark):
     assert abs(out[4].el - 2.0 / 3.0) < 1e-9 and not out[4].keep
     # doc 5: 17 alpha words of 47 total
     assert abs(out[5].aw - 17.0 / 47.0) < 1e-9 and not out[5].keep
+
+
+def test_dedup_clusters_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir routes the iteration state through reliable
+    storage: identical labels, and checkpoint files actually land in
+    the directory (executor-loss recovery reads them instead of
+    recomputing the near-dup join)."""
+    import os
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)] + [(100, 101), (103, 101)],
+        "id_a long, id_b long",
+    )
+    local = {(r.id, r.cluster_id) for r in D.dedup_clusters(pairs).collect()}
+    ckdir = str(tmp_path / "ck")
+    reliable = {
+        (r.id, r.cluster_id)
+        for r in D.dedup_clusters(pairs, checkpoint_dir=ckdir).collect()
+    }
+    assert reliable == local
+    assert {r.cluster_id for r in D.dedup_clusters(pairs, checkpoint_dir=ckdir).collect()} == {0, 100}
+    found = []
+    for root, _dirs, files in os.walk(ckdir):
+        found += files
+    assert found, "no checkpoint files written to checkpoint_dir"
+
+
+def test_release_pinned_frees_blocks(spark):
+    """release_pinned must actually free localCheckpoint storage —
+    DataFrame.unpersist() is a no-op on checkpoint blocks (they are not
+    CacheManager entries)."""
+    from torchestra_spark.functions.dedup import release_pinned
+
+    sc = spark.sparkContext
+
+    def n_blocks():
+        return len([i for i in sc._jsc.sc().getRDDStorageInfo()])
+
+    base = n_blocks()
+    ck = spark.range(10000).withColumn("x", F.col("id") * 2).localCheckpoint(eager=True)
+    assert n_blocks() == base + 1
+    ck.unpersist()  # documented no-op
+    assert n_blocks() == base + 1
+    release_pinned(ck)
+    assert n_blocks() == base

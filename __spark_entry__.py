@@ -999,6 +999,33 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round(F.col("cos_sim"), 6).alias("cos_sim"))
 
 
+def _q_ivf_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the IVF SERVING path: encoded table stored partitioned by cell,
+    # probes prune at the scan (PartitionFilters, no assign UDF at
+    # query time — plan asserted in tests/test_plan_quality.py); at
+    # n_probes == n_centroids the result is exact brute-force top-k,
+    # oracled against cosine SQL
+    import os
+    import tempfile
+
+    from torchestra_spark.functions.similarity import (
+        ivf_assign,
+        ivf_topk_stored,
+        train_ivf_centroids,
+    )
+    from torchestra_spark.io.sources import read_partitioned, write_partitioned
+
+    em = _t(spark, sf_dir, "embeddings")
+    C = train_ivf_centroids(em, "embedding", n_centroids=8, sample=2000, seed=3, order_col="vec_id")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"ts_ivfstore_{tag}")
+    write_partitioned(ivf_assign(em, "embedding", C), path, ["ivf_cell"])
+    stored = read_partitioned(spark, path)
+    q = em.orderBy("vec_id").first()["embedding"]
+    out = ivf_topk_stored(stored, "embedding", q, C, k=10, n_probes=8)
+    return out.select("vec_id", F.round(F.col("cos_sim"), 6).alias("cos_sim"))
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # binary payload -> feature plumbing (rows-only; deterministic fake
     # decoder — real codec is the documented stub)
@@ -2119,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_probe": _q_near_dup_probe,
         "tumbling_stats": _q_tumbling_stats,
         "ivf_topk": _q_ivf_topk,
+        "ivf_topk_stored": _q_ivf_topk_stored,
         "pq_topk": _q_pq_topk,
         "pq_rerank_topk": _q_pq_rerank_topk,
         "ivfpq_topk": _q_ivfpq_topk,
@@ -2877,6 +2905,18 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "ivf_topk": """
+            WITH q AS (
+                SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1
+            )
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                                CAST(qv AS DOUBLE[])), 6) AS cos_sim
+            FROM embeddings, q
+            ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            CAST(qv AS DOUBLE[])) DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "ivf_topk_stored": """
             WITH q AS (
                 SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1
             )

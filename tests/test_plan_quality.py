@@ -208,3 +208,36 @@ def test_vocab_topk_tie_order_matches_sort_counts(spark):
     got = {r["word"]: r["token_id"] for r in fit_vocab(df, "text", size=3).collect()}
     # counts: a=3 b=3 c=2 d=1 -> top-3 = a(1) b(2) c(3)
     assert got == {"a": 1, "b": 2, "c": 3}
+
+
+def test_ivf_topk_stored_prunes_and_matches(spark, tmp_path):
+    """The serving path: ivf_topk_stored over a cell-partitioned table
+    must (a) show the probed cells as PartitionFilters — no assign UDF,
+    no full scan — and (b) return exactly ivf_topk's answer."""
+    import numpy as np
+
+    from torchestra_spark.functions.similarity import (
+        ivf_assign,
+        ivf_topk,
+        ivf_topk_stored,
+        train_ivf_centroids,
+    )
+    from torchestra_spark.io.sources import read_partitioned, write_partitioned
+
+    em = spark.read.parquet(f"{SF}/embeddings.parquet")
+    C = train_ivf_centroids(em, "embedding", n_centroids=4, sample=500, seed=1)
+    path = str(tmp_path / "ivf_stored")
+    write_partitioned(ivf_assign(em, "embedding", C), path, ["ivf_cell"])
+    stored = read_partitioned(spark, path)
+
+    q = [float(x) for x in np.asarray(em.select("embedding").first()[0])]
+    out = ivf_topk_stored(stored, "embedding", q, C, k=5, n_probes=2)
+    plan = _plan(out)
+    scan = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "ivf_cell" in scan.split("PartitionFilters:")[1].split("PushedFilters")[0]
+    # query-time plan runs NO Python at all before the top-k
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    expect = [(r[0], round(r[1], 9)) for r in ivf_topk(em, "embedding", q, C, k=5, n_probes=2).collect()]
+    got = [(r[0], round(r[1], 9)) for r in out.collect()]
+    assert got == expect

@@ -382,6 +382,34 @@ def ivf_topk(
     return brute_force_topk(cand, vec_col, list(q), k=k, id_col=id_col)
 
 
+def ivf_topk_stored(
+    df: DataFrame,
+    vec_col: str,
+    query: Sequence[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probes: int = 2,
+    id_col: str = "vec_id",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """IVF ANN over a PRE-ASSIGNED table (one that already carries
+    ``cell_col``, e.g. written with ``write_partitioned(...,
+    [cell_col])``): probes filter the STORED cell column, so with a
+    cell-partitioned layout the ``.isin`` becomes PartitionFilters and
+    the scan reads only the probed cells — no assign UDF runs over the
+    corpus at query time.  This is the serving-path twin of
+    ``ivf_topk`` (which assigns on the fly for ad-hoc frames); results
+    are identical when ``cell_col`` was produced by ``ivf_assign`` with
+    the same centroids (plan-quality pytest asserts the pruning, the
+    driver oracle checks values)."""
+    q = np.asarray(list(query), dtype=np.float64)
+    C = np.asarray(centroids, dtype=np.float64)
+    d = ((C - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d)[:n_probes]]
+    cand = df.filter(F.col(cell_col).isin(probes))
+    return brute_force_topk(cand, vec_col, list(q), k=k, id_col=id_col)
+
+
 def embedding_near_dups(
     df: DataFrame,
     vec_col: str,

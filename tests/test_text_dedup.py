@@ -1162,7 +1162,10 @@ def test_tokenize_local_fuzz_parity(spark):
 
     rng = random.Random(20260817)
     ws_chars = [" ", "\t", "\n", "\x0b", "\f", "\r", "  ", " \t\n"]
-    pieces = ["cat", "Dog", "MAT", "x", "42", "a-b", "e!", "Zz9", "", "the"]
+    # includes locale-sensitive non-ASCII (U+0130 İ, ß, Σ/ς): both
+    # paths now lowercase JVM-side, so these must agree token-for-token
+    pieces = ["cat", "Dog", "MAT", "x", "42", "a-b", "e!", "Zz9", "", "the",
+              "\u0130stanbul", "STRASSE", "stra\u00dfe", "\u03a3\u039f\u03a6\u039f\u03a3", "\u03c3o\u03c2"]
     docs = []
     for i in range(300):
         n = rng.randint(0, 12)

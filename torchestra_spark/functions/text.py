@@ -526,7 +526,12 @@ def tokenize_with_vocab_local(
     input columns + ``tokens array<int>`` + ``n_tok``.
 
     Word split replicates ``words()`` exactly: Java ``\\s`` is
-    ASCII-only, so the Python side splits on the same five chars."""
+    ASCII-only, so the Python side splits on the same five chars.
+    Lowercasing happens SPARK-side (``F.lower`` on a pre-projected
+    column) so both tokenizer paths and ``fit_vocab`` share one casing
+    implementation — Python ``str.lower()`` diverges from the JVM on
+    locale-sensitive characters (e.g. U+0130 İ), which would silently
+    send such words to OOV in one path only."""
     import re
 
     import pandas as pd
@@ -543,18 +548,19 @@ def tokenize_with_vocab_local(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
         + ["tokens array<int>", "n_tok int"]
     )
+    sel = df.select("*", F.lower(F.col(text_col)).alias("__lc"))
 
     def run(batches):
         for pdf in batches:
             toks = [
-                [mapping.get(w, oov_id) for w in split(t.lower()) if w != ""]
+                [mapping.get(w, oov_id) for w in split(t) if w != ""]
                 if isinstance(t, str)
                 else []
-                for t in pdf[text_col]
+                for t in pdf["__lc"]
             ]
-            pdf = pdf.copy()
+            pdf = pdf.drop(columns=["__lc"])
             pdf["tokens"] = toks
             pdf["n_tok"] = [len(x) for x in toks]
             yield pdf
 
-    return df.mapInPandas(run, out_schema)
+    return sel.mapInPandas(run, out_schema)

@@ -2088,78 +2088,17 @@ def _q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order IS the driver-gate order: the gate checks the
-    # FIRST 50 entries only, so the window rotates per round (r4
-    # verdict item 2: every query gets a driver row no older than 2
-    # rounds).  r5 window = the 24 r1-era queries that overflowed in r4
-    # (scalers, lookups, sequence ops, exact dedup), the queries whose
-    # code changed this round (tokenize_vocab, index_lookup_topk via
-    # TopK, simhash_near_dups — newly SQL-oracled, dedup_clusters —
-    # pointer doubling), the new r5 query (resize_bmp), and one
-    # representative per r4 family.  The r2-r4 temporal/text rows past
-    # the window were all hash-green in CORRECTNESS_r04 and stay
-    # covered by scripts/check_oracle.py + the sf0.1 audit; they rotate
-    # back in r6.
+    # FIRST 50 entries only, so the window rotates per round (every
+    # query must have a driver row no older than 2 rounds).  r6 window
+    # = the 31 queries whose last driver row is r4 (temporal/text/
+    # pipeline block) + the 3 new r6 queries (ratio_z, asof_multi,
+    # ivf_topk_stored) + the 16 queries whose code changed in r6
+    # (gopher signals, tokenizer casing, mapInArrow bucketing, dedup
+    # checkpointing, ANN train sampling).  Everything past the window
+    # was hash-green in r5 with code untouched this round; rotate back
+    # in r7.  Local replica: scripts/check_oracle.py covers ALL rows.
     return {
-        # --- r1-era block: no driver row since r3 — window first
-        "gopher_filter": _q_gopher_filter,
-        "c4_filter": _q_c4_filter,
-        "exact_dedup": _q_exact_dedup,
-        "mark_exact_dups": _q_mark_exact_dups,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "winnow_fingerprint": _q_winnow_fingerprint,
-        "standard_score": _q_standard_score,
-        "standard_score_ddof0": _q_standard_score_ddof0,
-        "ratio_z": _q_ratio_z,
-        "asof_multi": _q_asof_multi,
-        "minmax_scale": _q_minmax_scale,
-        "mean_scale": _q_mean_scale,
-        "clamp_nan": _q_clamp_nan,
-        "robust_scale": _q_robust_scale,
-        "count_lookup": _q_count_lookup,
-        "count_lookup_min_threshold": _q_count_lookup_min_threshold,
-        "ratio_lookup": _q_ratio_lookup,
-        "index_lookup": _q_index_lookup,
-        "index_lookup_topk": _q_index_lookup_topk,
-        "int_count_lookup": _q_int_count_lookup,
-        "int_ratio_lookup": _q_int_ratio_lookup,
-        "int_index_lookup": _q_int_index_lookup,
-        "seq_len": _q_seq_len,
-        "seq_trunc_sum": _q_seq_trunc_sum,
-        "seq_trunc_pad": _q_seq_trunc_pad,
-        "distinct_users_per_type": _q_distinct_users_per_type,
-        # --- changed or new in r5
-        "tokenize_vocab": _q_tokenize_vocab,
-        "tokenize_local": _q_tokenize_local,
-        "simhash_near_dups": _q_simhash_near_dups,
-        "resize_bmp": _q_resize_bmp,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_keep": _q_dedup_keep,
-        "dedup_keep_best": _q_dedup_keep_best,
-        # --- keepers + one representative per family
-        "tdigest_cdf": _q_tdigest_cdf,
-        "snapshot_time_travel": _q_snapshot_time_travel,
-        "pack_blocks": _q_pack_blocks,
-        "winnow_near_dups": _q_winnow_near_dups,
-        "near_dup_report": _q_near_dup_report,
-        "decontaminate": _q_decontaminate,
-        "decontaminate_indexed": _q_decontaminate_indexed,
-        "near_dup_probe": _q_near_dup_probe,
-        "tumbling_stats": _q_tumbling_stats,
-        "ivf_topk": _q_ivf_topk,
-        "ivf_topk_stored": _q_ivf_topk_stored,
-        "pq_topk": _q_pq_topk,
-        "pq_rerank_topk": _q_pq_rerank_topk,
-        "ivfpq_topk": _q_ivfpq_topk,
-        "ivfpq_rerank_topk": _q_ivfpq_rerank_topk,
-        "quantized_topk": _q_quantized_topk,
-        "embedding_near_dups": _q_embedding_near_dups,
-        "multimodal_decode_real": _q_multimodal_decode_real,
-        "hash_bucket": _q_hash_bucket,
-        "simhash_tokens_near_dups": _q_simhash_tokens_near_dups,
-        # ---------------- past the 50-row gate window from here on:
-        # ALL hash-green in CORRECTNESS_r04; rotate back in r6
-        # (simhash_tokens' sketch is subsumed by its near-dups twin;
-        # multimodal_decode's fake codec by the real-codec row)
+        # --- last driver row r4 — window first
         "simhash_tokens": _q_simhash_tokens,
         "multimodal_decode": _q_multimodal_decode,
         "embedding_quantize": _q_embedding_quantize,
@@ -2191,8 +2130,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "corpus_curation": _q_corpus_curation,
         "repetition_ratio": _q_repetition_ratio,
+        # --- new in r6
+        "ratio_z": _q_ratio_z,
+        "asof_multi": _q_asof_multi,
+        "ivf_topk_stored": _q_ivf_topk_stored,
+        # --- code changed in r6
+        "gopher_filter": _q_gopher_filter,
+        "tokenize_vocab": _q_tokenize_vocab,
+        "tokenize_local": _q_tokenize_local,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "ivf_topk": _q_ivf_topk,
+        "quantized_topk": _q_quantized_topk,
+        "near_dup_report": _q_near_dup_report,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "pq_topk": _q_pq_topk,
+        "pq_rerank_topk": _q_pq_rerank_topk,
+        "ivfpq_topk": _q_ivfpq_topk,
+        "ivfpq_rerank_topk": _q_ivfpq_rerank_topk,
+        "near_dup_probe": _q_near_dup_probe,
+        "decontaminate_indexed": _q_decontaminate_indexed,
+        "winnow_near_dups": _q_winnow_near_dups,
+        # ---------------- past the 50-row gate window from here on:
+        # ALL hash-green in CORRECTNESS_r05 with r6-untouched code
+        "c4_filter": _q_c4_filter,
+        "exact_dedup": _q_exact_dedup,
+        "mark_exact_dups": _q_mark_exact_dups,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "winnow_fingerprint": _q_winnow_fingerprint,
+        "standard_score": _q_standard_score,
+        "standard_score_ddof0": _q_standard_score_ddof0,
+        "minmax_scale": _q_minmax_scale,
+        "mean_scale": _q_mean_scale,
+        "clamp_nan": _q_clamp_nan,
+        "robust_scale": _q_robust_scale,
+        "count_lookup": _q_count_lookup,
+        "count_lookup_min_threshold": _q_count_lookup_min_threshold,
+        "ratio_lookup": _q_ratio_lookup,
+        "index_lookup": _q_index_lookup,
+        "index_lookup_topk": _q_index_lookup_topk,
+        "int_count_lookup": _q_int_count_lookup,
+        "int_ratio_lookup": _q_int_ratio_lookup,
+        "int_index_lookup": _q_int_index_lookup,
+        "seq_len": _q_seq_len,
+        "seq_trunc_sum": _q_seq_trunc_sum,
+        "seq_trunc_pad": _q_seq_trunc_pad,
+        "distinct_users_per_type": _q_distinct_users_per_type,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "resize_bmp": _q_resize_bmp,
+        "dedup_keep": _q_dedup_keep,
+        "tdigest_cdf": _q_tdigest_cdf,
+        "snapshot_time_travel": _q_snapshot_time_travel,
+        "pack_blocks": _q_pack_blocks,
+        "decontaminate": _q_decontaminate,
+        "tumbling_stats": _q_tumbling_stats,
+        "multimodal_decode_real": _q_multimodal_decode_real,
+        "hash_bucket": _q_hash_bucket,
+        "simhash_tokens_near_dups": _q_simhash_tokens_near_dups,
     }
-
 
 def oracle_sql() -> dict[str, str]:
     return {

@@ -353,15 +353,15 @@ def bench_queries(spark):
 # for everything.
 _ITERS = {
     "asof_tokenized": 4,
-    "asof_salted": 3,
+    "asof_salted": 4,
     "asof_broadcast": 3,
     # the one r3->r4 driver-record regression (3.58s vs 1.55s clean-box)
     # was an unpinned min-of-2 catching a noise burst — same treatment
     "window_suite": 4,
-    "window_bucketed": 3,
-    "minhash_dedup": 3,
+    "window_bucketed": 4,
+    "minhash_dedup": 4,
     "simhash_dedup_tokens": 3,
-    "winnow_dedup_tokens": 3,
+    "winnow_dedup_tokens": 4,
     # the fused suite is the LONGEST query: under intermittent vCPU
     # steal its min-of-N needs the most attempts to land in a quiet
     # window (measured quiet 8.9-9.8s vs 17-28s inside steal bursts)
@@ -369,7 +369,12 @@ _ITERS = {
     "decontaminate": 3,
     "decontaminate_indexed": 3,
     "near_dup_probe": 3,
-    "pack_blocks": 3,
+    # r5 driver record hit 22.9s vs 4.7s clean on pack_blocks (4.6x,
+    # code byte-identical to r4) — the deepest pins go to the suites the
+    # r5 record regressed: min-of-5 for the exact-chunking shuffle,
+    # min-of-4 for the rest (r5 verdict item 1)
+    "pack_blocks": 5,
+    "sessionize_events": 4,
 }
 
 

@@ -693,19 +693,20 @@ def pq_topk(
     the driver and broadcast; each row's approximate distance is m
     table lookups summed — no vector data moves at query time, and
     orderBy+limit compiles to TakeOrderedAndProject."""
+    import pyarrow as pa
+
     B = np.ascontiguousarray(codebooks, dtype=np.float64)
     m, ks, sub = B.shape
     q = np.asarray(query, dtype=np.float64).reshape(m, sub)
     table = ((B - q[:, None, :]) ** 2).sum(axis=2)  # (m, ks)
 
-    @F.pandas_udf("double")
-    def _adc(s: pd.Series) -> pd.Series:
-        if len(s) == 0:
-            return pd.Series([], dtype="float64")
-        codes = np.stack(s.map(lambda c: np.asarray(c, dtype=np.int64)).to_numpy())
-        return pd.Series(table[np.arange(m)[None, :], codes].sum(axis=1), index=s.index)
+    def kernel(X: np.ndarray):
+        # codes arrive as the flat ListArray buffer reshaped (n, m);
+        # float64 round-trip is exact for code ids (< ks <= 2^16)
+        codes = X.astype(np.int64)
+        return pa.array(table[np.arange(m)[None, :], codes].sum(axis=1), type=pa.float64())
 
-    scored = code_df.withColumn("pq_dist", _adc(F.col(code_col)))
+    scored = _vec_matrix_stage(code_df, code_col, m, "pq_dist double", kernel)
     return scored.select(id_col, "pq_dist").orderBy(
         F.col("pq_dist").asc(), F.col(id_col).asc()
     ).limit(k)
@@ -871,16 +872,32 @@ def ivfpq_topk(
     T = ((B[None, :, :, :] - Rq[:, :, None, :]) ** 2).sum(axis=3)  # (nc, m, ks)
     jj = np.arange(m)
 
-    @F.pandas_udf("double")
-    def _adc(cells: pd.Series, codes: pd.Series) -> pd.Series:
-        if len(cells) == 0:
-            return pd.Series([], dtype="float64")
-        cc = cells.to_numpy(dtype=np.int64)
-        CO = np.stack(codes.map(lambda c: np.asarray(c, dtype=np.int64)).to_numpy())
-        return pd.Series(T[cc[:, None], jj[None, :], CO].sum(axis=1), index=cells.index)
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     cand = code_df.filter(F.col(cell_col).isin(probes))
-    scored = cand.withColumn("ivfpq_dist", _adc(F.col(cell_col), F.col(code_col)))
+    parts = [f"{f.name} {f.dataType.simpleString()}" for f in cand.schema.fields]
+    out_schema = ", ".join(parts + ["ivfpq_dist double"])
+
+    def stage(batches):
+        # flat-buffer ADC: reshape the codes ListArray child buffer to
+        # (n, m) and gather from the per-cell tables in one fancy-index
+        # — no per-row Python (the pq_encode pattern)
+        for b in batches:
+            cells_arr = b.column(b.schema.get_field_index(cell_col))
+            codes_arr = b.column(b.schema.get_field_index(code_col))
+            n = len(cells_arr)
+            cc = cells_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = pc.list_flatten(codes_arr).to_numpy(zero_copy_only=False).astype(np.int64)
+            CO = flat.reshape(n, m) if n else flat.reshape(0, m)
+            dist = T[cc[:, None], jj[None, :], CO].sum(axis=1) if n else np.empty(0)
+            cols = [b.column(i) for i in range(b.num_columns)]
+            yield pa.RecordBatch.from_arrays(
+                cols + [pa.array(dist, type=pa.float64())],
+                list(b.schema.names) + ["ivfpq_dist"],
+            )
+
+    scored = cand.mapInArrow(stage, out_schema)
     return scored.select(id_col, "ivfpq_dist").orderBy(
         F.col("ivfpq_dist").asc(), F.col(id_col).asc()
     ).limit(k)

@@ -213,6 +213,28 @@ def test_fused_multi_table_tolerance_and_salting(spark, events, feats, feats2):
     pd.testing.assert_frame_equal(sp, fp)
 
 
+def test_featurestore_forwards_salting_to_fused_path(spark, events, feats, feats2):
+    """Salt kwargs on the feature tables reach asof_join_multi (incl.
+    the most-sensitive salt_threshold) without changing results."""
+    plain = (
+        FeatureStore(entity="user_id", ts="ts")
+        .add_feature_table(feats, ts="feature_ts", name="f", value_cols=["fval"])
+        .add_feature_table(feats2, ts="feature_ts", name="g", value_cols=["gval"])
+        .build(events)
+    )
+    salted = (
+        FeatureStore(entity="user_id", ts="ts")
+        .add_feature_table(feats, ts="feature_ts", name="f", value_cols=["fval"],
+                           salt_buckets=4, salt_threshold=5)
+        .add_feature_table(feats2, ts="feature_ts", name="g", value_cols=["gval"])
+        .build(events)
+    )
+    cols = sorted(plain.columns)
+    a = plain.select(*cols).orderBy("event_id").toPandas()
+    b = salted.select(*cols).orderBy("event_id").toPandas()
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+
+
 def test_fused_multi_table_collision_raises(spark, events, feats):
     from torchestra_spark.operators.temporal import asof_join_multi
 

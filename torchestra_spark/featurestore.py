@@ -59,6 +59,7 @@ class FeatureStore:
         strategy: str = "union",
         tolerance_sec: Optional[float] = None,
         salt_buckets: int = 1,
+        salt_threshold: Optional[int] = None,
     ) -> "FeatureStore":
         """Point-in-time join this table's latest values (<= event ts)."""
         self._feature_tables.append(
@@ -71,6 +72,7 @@ class FeatureStore:
                     strategy=strategy,
                     tolerance_sec=tolerance_sec,
                     salt_buckets=salt_buckets,
+                    salt_threshold=salt_threshold,
                 ),
             )
         )
@@ -128,6 +130,13 @@ class FeatureStore:
                 on=self.entity,
                 left_ts=self.ts,
                 salt_buckets=max(kw.get("salt_buckets", 1) for _n, _f, _t, kw in fused),
+                # most sensitive (lowest) explicit threshold wins — one
+                # shared hot-key pass covers every fused table
+                salt_threshold=min(
+                    (kw["salt_threshold"] for _n, _f, _t, kw in fused
+                     if kw.get("salt_threshold") is not None),
+                    default=None,
+                ),
             )
         else:
             rest = self._feature_tables

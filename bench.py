@@ -123,6 +123,46 @@ def bench_queries(spark):
         )
         _noop(out)
 
+    # three derived feature tables for the multi-table point-in-time
+    # shape (pure-Catalyst derivations off the cached fixture — the
+    # timed cost is the join machinery, not generation)
+    def _feat_tables():
+        return [
+            dict(
+                name=f"f{i}",
+                df=feats.select(
+                    "user_id",
+                    (F.col("feature_ts") + F.expr(f"INTERVAL {i * 7} SECONDS")).alias(
+                        "feature_ts"
+                    ),
+                    (F.col("fval") * (i + 1)).alias(f"v{i}"),
+                ),
+                ts="feature_ts",
+                value_cols=[f"v{i}"],
+            )
+            for i in range(3)
+        ]
+
+    def q_asof_multi_fused():
+        # k=3 feature tables in ONE union + ONE entity-window pass over
+        # the probe spine (r6: asof_join_multi) — contrast with the
+        # sequential twin below, which shuffles the spine once PER table
+        from torchestra_spark.operators.temporal import asof_join_multi
+
+        _noop(asof_join_multi(toks, _feat_tables(), on="user_id", left_ts="ts"))
+
+    def q_asof_multi_seq():
+        # the unfused baseline: k sequential as-of joins, k Exchanges of
+        # the (wide) probe side — the cost the fusion removes
+        out = toks
+        for spec in _feat_tables():
+            out = asof_join(
+                out, spec["df"], on="user_id", left_ts="ts",
+                right_ts="feature_ts", value_cols=spec["value_cols"],
+                keep_right_ts=False,
+            )
+        _noop(out)
+
     def q_window_suite():
         out = lag_lead(toks, "user_id", ["ts", "doc_id"], "n_tok", lags=(1,), leads=(1,))
         out = sessionize(out, "user_id", ["ts", "doc_id"], gap_sec=3600.0)
@@ -324,6 +364,8 @@ def bench_queries(spark):
         "asof_tokenized": q_asof_tokenized,
         "asof_salted": q_asof_salted,
         "asof_broadcast": q_asof_broadcast,
+        "asof_multi_fused": q_asof_multi_fused,
+        "asof_multi_seq": q_asof_multi_seq,
         "window_suite": q_window_suite,
         "window_bucketed": q_window_bucketed,
         "scaler_fit_transform": q_scaler_fit_transform,
@@ -355,12 +397,13 @@ _ITERS = {
     "asof_tokenized": 4,
     "asof_salted": 4,
     "asof_broadcast": 3,
+    "asof_multi_fused": 3,
+    "asof_multi_seq": 3,
     # the one r3->r4 driver-record regression (3.58s vs 1.55s clean-box)
     # was an unpinned min-of-2 catching a noise burst — same treatment
     "window_suite": 4,
     "window_bucketed": 4,
     "minhash_dedup": 4,
-    "simhash_dedup_tokens": 3,
     "winnow_dedup_tokens": 4,
     # the fused suite is the LONGEST query: under intermittent vCPU
     # steal its min-of-N needs the most attempts to land in a quiet
@@ -368,14 +411,42 @@ _ITERS = {
     "near_dup_report": 4,
     "decontaminate": 3,
     "decontaminate_indexed": 3,
-    "near_dup_probe": 3,
+    "near_dup_probe": 4,
     # r5 driver record hit 22.9s vs 4.7s clean on pack_blocks (4.6x,
     # code byte-identical to r4) — the deepest pins go to the suites the
     # r5 record regressed: min-of-5 for the exact-chunking shuffle,
     # min-of-4 for the rest (r5 verdict item 1)
     "pack_blocks": 5,
     "sessionize_events": 4,
+    # the sketch+blocked-join suites keep improving over ~3 iterations
+    # from a cold JVM (Python-worker fork + codegen JIT: measured
+    # 32->17->8->7.6s cold vs 7.6s warm floor); even with _warmup,
+    # min-of-3 can land on a still-warming iteration — give them the
+    # depth to reach the floor
+    "simhash_dedup_tokens": 5,
 }
+
+
+def _warmup(spark, toks) -> None:
+    """Untimed pre-pass: fork the Arrow Python workers (numpy import +
+    worker reuse pool) and JIT the shuffle/join/window codegen before
+    the first timed iteration.  From a cold JVM the first sketch+join
+    query otherwise pays ~4x its warm floor (measured 32s -> 7.6s over
+    four iterations), which min-of-N at small N mistakes for the
+    query's cost.  Runs on a 50k-row slice so it costs seconds."""
+    from torchestra_spark.functions.dedup import simhash_tokens
+
+    sub = toks.limit(50_000)
+    sh = simhash_tokens(sub, "tokens", "doc_id")
+    (
+        sh.alias("a")
+        .join(sh.alias("b"), "simhash")
+        .groupBy("simhash")
+        .count()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
 
 def main() -> None:
@@ -392,6 +463,8 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS * 4)
     spark.sparkContext.setLogLevel("ERROR")
     qs = bench_queries(spark)
+    toks = spark.read.parquet(os.path.join(BENCH_DATA, f"tokenized_{N_SEQ}"))
+    _warmup(spark, toks)
     timings = {}
     for name, fn in qs.items():
         if only and name not in only:

@@ -144,6 +144,28 @@ def _q_mean_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stacked_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference ``MeanScale.stack`` parity (_normalization.py:72-88):
+    three MeanScales fitted on separate lineitem columns, packaged via
+    ``MeanScale.stack`` into ONE array->array module whose per-element
+    (offset, divisor) pairs are plan-time constants — a single
+    whole-stage-codegen projection, no UDF."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    mods = []
+    for c in cols:
+        p = Pipeline({"y": Feature(c, [MeanScale()])})
+        p.fit(li)
+        mods.append(p.features["y"].ops[0])
+    stacked = MeanScale.stack(mods)
+    arr = stacked.expr(F.array(*[F.col(c).cast("double") for c in cols]))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.transform(arr, lambda x: F.round(x, 6)).alias("stacked"),
+    )
+
+
 def _q_clamp_nan(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     pipe = Pipeline(
@@ -2091,12 +2113,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST 50 entries only, so the window rotates per round (every
     # query must have a driver row no older than 2 rounds).  r6 window
     # = the 31 queries whose last driver row is r4 (temporal/text/
-    # pipeline block) + the 3 new r6 queries (ratio_z, asof_multi,
-    # ivf_topk_stored) + the 16 queries whose code changed in r6
-    # (gopher signals, tokenizer casing, mapInArrow bucketing, dedup
-    # checkpointing, ANN train sampling).  Everything past the window
-    # was hash-green in r5 with code untouched this round; rotate back
-    # in r7.  Local replica: scripts/check_oracle.py covers ALL rows.
+    # pipeline block) + the 4 new r6 queries (ratio_z, asof_multi,
+    # ivf_topk_stored, stacked_scaler) + 15 queries whose code changed
+    # in r6 (gopher signals, tokenizer casing, mapInArrow bucketing,
+    # dedup checkpointing, ANN train sampling; winnow_near_dups slides
+    # just past the window — its r5 row is green and its only r6 change
+    # is the shared _pin plumbing that near_dup_report/dedup_clusters
+    # exercise inside the window).  Everything past the window was
+    # hash-green in r5 with code untouched this round; rotate back in
+    # r7.  Local replica: scripts/check_oracle.py covers ALL rows.
     return {
         # --- last driver row r4 — window first
         "simhash_tokens": _q_simhash_tokens,
@@ -2134,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ratio_z": _q_ratio_z,
         "asof_multi": _q_asof_multi,
         "ivf_topk_stored": _q_ivf_topk_stored,
+        "stacked_scaler": _q_stacked_scaler,
         # --- code changed in r6
         "gopher_filter": _q_gopher_filter,
         "tokenize_vocab": _q_tokenize_vocab,
@@ -2245,6 +2271,16 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(LEAST(GREATEST(
                        (l_extendedprice - AVG(l_extendedprice) OVER ())
                        / STDDEV_SAMP(l_extendedprice) OVER (), -1.0), 1.0), 6) AS price_c
+            FROM lineitem
+        """,
+        "stacked_scaler": """
+            SELECT l_orderkey, l_linenumber,
+                   [ROUND((l_quantity - AVG(l_quantity) OVER ())
+                          / (MAX(l_quantity) OVER () - MIN(l_quantity) OVER ()), 6),
+                    ROUND((l_extendedprice - AVG(l_extendedprice) OVER ())
+                          / (MAX(l_extendedprice) OVER () - MIN(l_extendedprice) OVER ()), 6),
+                    ROUND((l_discount - AVG(l_discount) OVER ())
+                          / (MAX(l_discount) OVER () - MIN(l_discount) OVER ()), 6)] AS stacked
             FROM lineitem
         """,
         # incremental fit(even)+fit_update(odd) merges min/max and counts

@@ -316,3 +316,48 @@ def test_grouped_standard_score_broadcast_many_groups(spark):
     sub = got[got["g"] == "g7"]
     v = pdf.loc[pdf["g"] == "g7", "x"]
     assert np.allclose(sub["z"].to_numpy(), ((sub["x"] - v.mean()) / v.std(ddof=1)).to_numpy())
+
+
+def test_stacked_scaler_matches_unstacked(spark):
+    """Reference `.stack` parity (_normalization.py:72-88,155-171,
+    263-281): k fitted scalers packaged as one module over a stacked
+    array input produce element-wise exactly the unstacked outputs —
+    including the degenerate delta==0 column (torch x/0 semantics)."""
+    import pyspark.sql.functions as F
+
+    from torchestra_spark import StackedScaler  # noqa: F401 (export check)
+    from torchestra_spark.plans.pipeline import Feature, Pipeline
+
+    rng = np.random.RandomState(7)
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(200),
+            "a": rng.randn(200),
+            "b": rng.rand(200) * 50,
+            "c": np.full(200, 3.25),  # constant column: delta == 0
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+
+    for cls in (MeanScale, MinMaxScale, StandardScore):
+        mods = []
+        for c in ("a", "b", "c"):
+            pipe = Pipeline({"y": Feature(c, [cls()])})
+            pipe.fit(sdf)
+            mods.append(pipe.features["y"].ops[0])
+        stacked = cls.stack(mods)
+        out = sdf.select(
+            "id",
+            *[mods[i].expr(F.col(c)).alias(f"u{i}") for i, c in enumerate(("a", "b", "c"))],
+            stacked.expr(F.array("a", "b", "c")).alias("s"),
+        ).orderBy("id")
+        got = out.toPandas()
+        for i in range(3):
+            u = got[f"u{i}"].to_numpy(dtype=float)
+            s = np.array([row[i] for row in got["s"]], dtype=float)
+            assert np.allclose(u, s, equal_nan=True), (cls.__name__, i)
+
+
+def test_stacked_scaler_requires_fitted():
+    with pytest.raises(Exception):
+        MeanScale.stack([MeanScale()])

@@ -31,6 +31,7 @@ from torchestra_spark.state import StateArtifact
 from torchestra_spark.operators.scalers import (
     MeanScale,
     MinMaxScale,
+    StackedScaler,
     StandardScore,
     RobustScale,
     TDigestDistribution,
@@ -90,6 +91,7 @@ __all__ = [
     "StateArtifact",
     "MeanScale",
     "MinMaxScale",
+    "StackedScaler",
     "StandardScore",
     "RobustScale",
     "TDigestDistribution",

@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from torchestra_spark.core import FitKind, FittedTransform
+from torchestra_spark.core import FitKind, FittedTransform, Transform
 from torchestra_spark.tdigest import (
     DigestState,
     TDigest,
@@ -94,6 +94,46 @@ def _scale_expr(col: Column, offset: float, divisor: float) -> Column:
     return num / F.lit(float(divisor))
 
 
+class StackedScaler(Transform):
+    """k fitted scalers packaged as ONE module over a stacked input —
+    reference ``MeanScale.stack`` / ``MinMaxScale.stack`` /
+    ``StandardScore.stack`` (_normalization.py:72-88,155-171,263-281),
+    where stacking lets one module graph node serve many features.
+
+    Spark-first form: the fitted (offset, divisor) pairs are plan-time
+    constants, so the stacked transform unrolls into one ``F.array`` of
+    per-element ``_scale_expr`` projections over an ``array`` input
+    column (build it with ``Stack``/``Cat`` from wrappers.py) — a single
+    whole-stage-codegen expression, no UDF, and each element keeps the
+    exact torch division semantics of its unstacked twin.  Fitting k
+    columns is already one job per wave in the planner; this is the
+    reference's *serving-side* packaging of the fitted modules."""
+
+    input_kinds = ("array",)
+    output_kind = "array"
+
+    def __init__(self, pairs: List[tuple]) -> None:
+        if not pairs:
+            raise ValueError("StackedScaler needs at least one (offset, divisor) pair")
+        self.pairs = [(float(o), float(d)) for o, d in pairs]
+
+    @staticmethod
+    def _from_modules(modules, offset_attr: str, divisor_attr: str) -> "StackedScaler":
+        pairs = []
+        for m in modules:
+            m._require_fitted()
+            pairs.append((getattr(m, offset_attr), getattr(m, divisor_attr)))
+        return StackedScaler(pairs)
+
+    def expr(self, col: Column) -> Column:
+        return F.array(
+            *[
+                _scale_expr(F.element_at(col, i + 1), o, d)
+                for i, (o, d) in enumerate(self.pairs)
+            ]
+        )
+
+
 class MeanScale(FittedTransform):
     """(x - mean) / (max - min) — reference _normalization.py:7-91.
 
@@ -149,6 +189,12 @@ class MeanScale(FittedTransform):
         self._require_fitted()
         return _scale_expr(col, self.mean, self.delta)
 
+    @staticmethod
+    def stack(modules: List["MeanScale"]) -> StackedScaler:
+        """Reference API parity (_normalization.py:72-88): one module
+        over a stacked input from k fitted MeanScales."""
+        return StackedScaler._from_modules(modules, "mean", "delta")
+
     def get_state(self) -> Dict[str, Any]:
         return {"mean": self.mean, "delta": self.delta, "shard_merge": self.shard_merge}
 
@@ -189,6 +235,11 @@ class MinMaxScale(FittedTransform):
     def expr(self, col: Column) -> Column:
         self._require_fitted()
         return _scale_expr(col, self.vmin, self.vdelta)
+
+    @staticmethod
+    def stack(modules: List["MinMaxScale"]) -> StackedScaler:
+        """Reference API parity (_normalization.py:155-171)."""
+        return StackedScaler._from_modules(modules, "vmin", "vdelta")
 
     def get_state(self) -> Dict[str, Any]:
         return {"vmin": self.vmin, "vdelta": self.vdelta}
@@ -236,6 +287,11 @@ class StandardScore(FittedTransform):
     def expr(self, col: Column) -> Column:
         self._require_fitted()
         return _scale_expr(col, self.mean, self.std)
+
+    @staticmethod
+    def stack(modules: List["StandardScore"]) -> StackedScaler:
+        """Reference API parity (_normalization.py:263-281)."""
+        return StackedScaler._from_modules(modules, "mean", "std")
 
     def get_state(self) -> Dict[str, Any]:
         return {"ddof": self.ddof, "mean": self.mean, "std": self.std}

@@ -159,10 +159,12 @@ def _q_stacked_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
         mods.append(p.features["y"].ops[0])
     stacked = MeanScale.stack(mods)
     arr = stacked.expr(F.array(*[F.col(c).cast("double") for c in cols]))
+    # + 0.0 folds IEEE -0.0 to +0.0 on both engines (DuckDB's ROUND
+    # keeps the sign of a tiny negative quotient, Spark's drops it)
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.transform(arr, lambda x: F.round(x, 6)).alias("stacked"),
+        F.transform(arr, lambda x: F.round(x, 6) + F.lit(0.0)).alias("stacked"),
     )
 
 
@@ -2276,11 +2278,11 @@ def oracle_sql() -> dict[str, str]:
         "stacked_scaler": """
             SELECT l_orderkey, l_linenumber,
                    [ROUND((l_quantity - AVG(l_quantity) OVER ())
-                          / (MAX(l_quantity) OVER () - MIN(l_quantity) OVER ()), 6),
+                          / (MAX(l_quantity) OVER () - MIN(l_quantity) OVER ()), 6) + 0.0,
                     ROUND((l_extendedprice - AVG(l_extendedprice) OVER ())
-                          / (MAX(l_extendedprice) OVER () - MIN(l_extendedprice) OVER ()), 6),
+                          / (MAX(l_extendedprice) OVER () - MIN(l_extendedprice) OVER ()), 6) + 0.0,
                     ROUND((l_discount - AVG(l_discount) OVER ())
-                          / (MAX(l_discount) OVER () - MIN(l_discount) OVER ()), 6)] AS stacked
+                          / (MAX(l_discount) OVER () - MIN(l_discount) OVER ()), 6) + 0.0] AS stacked
             FROM lineitem
         """,
         # incremental fit(even)+fit_update(odd) merges min/max and counts

@@ -417,6 +417,7 @@ _ITERS = {
     # r5 record regressed: min-of-5 for the exact-chunking shuffle,
     # min-of-4 for the rest (r5 verdict item 1)
     "pack_blocks": 5,
+    "pack_blocks_local": 4,
     "sessionize_events": 4,
     # the sketch+blocked-join suites keep improving over ~3 iterations
     # from a cold JVM (Python-worker fork + codegen JIT: measured

@@ -241,3 +241,41 @@ def test_ivf_topk_stored_prunes_and_matches(spark, tmp_path):
     expect = [(r[0], round(r[1], 9)) for r in ivf_topk(em, "embedding", q, C, k=5, n_probes=2).collect()]
     got = [(r[0], round(r[1], 9)) for r in out.collect()]
     assert got == expect
+
+
+def test_asof_multi_fused_single_window_pass(spark, events):
+    """The fused k-table as-of (asof_join_multi) is ONE Window over ONE
+    Sort — k tables never multiply the probe-spine Exchanges the way the
+    sequential loop does (k Window/Sort/Exchange sets)."""
+    import pyspark.sql.functions as F
+
+    from torchestra_spark.io.sources import feature_events
+    from torchestra_spark.operators.temporal import asof_join, asof_join_multi
+
+    feats = feature_events(spark, n_entities=50, partitions=2)
+    tables = [
+        dict(
+            name=f"f{i}",
+            df=feats.select(
+                "user_id",
+                "feature_ts",
+                (F.col("fval") * (i + 1)).alias(f"v{i}"),
+            ),
+            ts="feature_ts",
+            value_cols=[f"v{i}"],
+        )
+        for i in range(3)
+    ]
+    fused = _plan(asof_join_multi(events, tables, on="user_id", left_ts="ts"))
+    assert fused.count("Window") == 1
+    assert len([l for l in fused.splitlines() if "Sort " in l or l.strip().startswith("Sort")]) <= 2
+    assert "ArrowEvalPython" not in fused and "BatchEvalPython" not in fused
+
+    out = events
+    for sp in tables:
+        out = asof_join(
+            out, sp["df"], on="user_id", left_ts="ts", right_ts="feature_ts",
+            value_cols=sp["value_cols"], keep_right_ts=False,
+        )
+    seq = _plan(out)
+    assert seq.count("Window") == 3  # the cost the fusion removes

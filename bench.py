@@ -409,7 +409,10 @@ _ITERS = {
     # steal its min-of-N needs the most attempts to land in a quiet
     # window (measured quiet 8.9-9.8s vs 17-28s inside steal bursts)
     "near_dup_report": 4,
-    "decontaminate": 3,
+    # r5 record 47.8s and an r6 validation run 50.8s on identical code
+    # (clean floor ~6-8s): this ~17s/iter suite is the one most often
+    # fully inside a multi-minute steal burst — deepest pin
+    "decontaminate": 5,
     "decontaminate_indexed": 3,
     "near_dup_probe": 4,
     # r5 driver record hit 22.9s vs 4.7s clean on pack_blocks (4.6x,

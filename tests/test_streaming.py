@@ -247,3 +247,42 @@ def test_fused_near_dup_sketches_on_stream_matches_batch(spark, tmp_path):
     ep = {r.doc_id: (r.simhash, tuple(sorted(r.winnow_fps)))
           for r in near_dup_sketches(batch, "tokens", "doc_id", k=3, w=4).collect()}
     assert gp == ep and len(gp) == 200
+
+
+def test_featurestore_serve_stream_matches_batch(spark, events_stream, events_batch):
+    """FeatureStore.serve_stream: broadcast point-in-time joins + the
+    batch-fitted pipeline applied to a live stream == the same serving
+    path run in batch (per-row parity on values and matched ts)."""
+    from torchestra_spark.featurestore import FeatureStore
+    from torchestra_spark.io.sources import feature_events
+    from torchestra_spark.plans.pipeline import Feature, Pipeline
+    from torchestra_spark import StandardScore
+
+    feats = spark.createDataFrame(
+        feature_events(spark, n_entities=60, seed=7, partitions=2).toPandas()
+    )
+    store = (
+        FeatureStore(entity="user_id", ts="ts")
+        .add_feature_table(feats, ts="feature_ts", name="f", value_cols=["fval"])
+        .add_pipeline(Pipeline({"value_z": Feature("value", [StandardScore()])}))
+    )
+    store.build(events_batch)  # batch fit freezes pipeline state
+
+    out = store.serve_stream(events_stream)
+    assert out.isStreaming
+    cols = ["event_id", "fval", "f_matched_ts", "value_z"]
+    got = (
+        run_to_memory(out.select(*cols), "t_fs_serve", spark)
+        .toPandas().sort_values("event_id", ignore_index=True)
+    )
+    exp = (
+        store.serve_stream(events_batch)  # same path, batch frame
+        .select(*cols)
+        .toPandas().sort_values("event_id", ignore_index=True)
+    )
+    assert len(got) == len(exp)
+    for c in ("fval", "value_z"):
+        assert np.allclose(
+            got[c].to_numpy(dtype=float), exp[c].to_numpy(dtype=float), equal_nan=True
+        )
+    assert got["f_matched_ts"].isna().equals(exp["f_matched_ts"].isna())

@@ -157,6 +157,35 @@ class FeatureStore:
             df = self._pipeline.transform(df)
         return df
 
+    def serve_stream(self, events_stream: DataFrame) -> DataFrame:
+        """Serve the store to a LIVE event stream: every feature table
+        joins point-in-time via the broadcast as-of strategy (a static
+        feature snapshot shipped to every task + vectorized searchsorted
+        match — zero shuffle of the stream, streaming-legal because no
+        batch-only op touches the stream side), then the batch-fitted
+        pipeline's transforms apply unchanged (pure Column exprs over
+        frozen state).
+
+        Requirements: ``build(events, fit=True)`` (or ``load_state``)
+        must have run first so pipeline state is frozen, and each
+        feature table must fit the broadcast budget — the same contract
+        as ``asof_join(strategy='broadcast')``.  Window features (lags,
+        rolling, sessionization) are fit-time history ops; for their
+        streaming twins use ``streaming.stream_sessionize_ids`` /
+        ``stream_windowed_stats`` explicitly."""
+        out = events_stream
+        for name, ft, fts, kw in self._feature_tables:
+            out = asof_join(
+                out, ft, on=self.entity, left_ts=self.ts, right_ts=fts,
+                value_cols=kw.get("value_cols"),
+                tolerance_sec=kw.get("tolerance_sec"),
+                strategy="broadcast",
+            )
+            out = out.withColumnRenamed(f"matched_{fts}", f"{name}_matched_ts")
+        if self._pipeline is not None:
+            out = self._pipeline.transform(out)
+        return out
+
     def assert_leakage_free(self, built: DataFrame) -> None:
         """Hard gate: every matched feature timestamp <= event ts."""
         for name, _ft, _fts, _kw in self._feature_tables:

@@ -248,3 +248,91 @@ def test_fused_multi_table_collision_raises(spark, events, feats):
             on="user_id",
             left_ts="ts",
         )
+
+
+def test_fused_multi_table_random_vs_pandas_oracle(spark):
+    """Seeded adversarial parity for the fused as-of: 3 tables with
+    exact event-ts==feature-ts ties and NULL feature values, checked
+    per table against pandas merge_asof (the reference backward-asof
+    semantics: exact ties match; the latest row wins even when its
+    value is NULL)."""
+    import numpy as np
+
+    from torchestra_spark.operators.temporal import asof_join_multi
+
+    rng = np.random.RandomState(11)
+    n_ev, n_ent, span = 400, 40, 60
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(n_ev),
+            "user_id": rng.randint(0, n_ent, n_ev),
+            "ts": pd.to_datetime(1700000000 + rng.randint(0, span, n_ev), unit="s"),
+        }
+    )
+    tabs = []
+    for t in range(3):
+        n = 150
+        f = pd.DataFrame(
+            {
+                "user_id": rng.randint(0, n_ent, n),
+                # second-aligned so exact event==feature ties occur, plus
+                # a per-row microsecond jitter making each (user, ts)
+                # unique — among EQUAL feature ts the engine's window
+                # tie order is nondeterministic, which merge_asof can't
+                # mirror; exact event-vs-feature ties stay exact because
+                # events are whole seconds
+                "feature_ts": pd.to_datetime(
+                    (1700000000 + rng.randint(0, span, n)) * 1_000_000 + np.arange(n),
+                    unit="us",
+                ),
+                f"v{t}": np.where(rng.rand(n) < 0.25, np.nan, rng.randn(n)),
+            }
+        )
+        # exact-tie rows: clone 20 events' (user, ts) verbatim
+        pick = ev.sample(20, random_state=t)
+        f = pd.concat(
+            [
+                f,
+                pd.DataFrame(
+                    {
+                        "user_id": pick["user_id"].to_numpy(),
+                        "feature_ts": pick["ts"].to_numpy(),
+                        f"v{t}": rng.randn(20),
+                    }
+                ),
+            ],
+            ignore_index=True,
+        ).drop_duplicates(["user_id", "feature_ts"])
+        tabs.append(f)
+
+    fused = asof_join_multi(
+        spark.createDataFrame(ev),
+        [
+            dict(name=f"t{t}", df=spark.createDataFrame(tabs[t]), ts="feature_ts",
+                 value_cols=[f"v{t}"])
+            for t in range(3)
+        ],
+        on="user_id",
+        left_ts="ts",
+    )
+    got = fused.toPandas().sort_values("event_id", ignore_index=True)
+
+    for t in range(3):
+        f = tabs[t].sort_values("feature_ts", kind="stable")
+        exp = pd.merge_asof(
+            ev.sort_values("ts", kind="stable"),
+            f[["user_id", "feature_ts", f"v{t}"]],
+            left_on="ts",
+            right_on="feature_ts",
+            by="user_id",
+            direction="backward",
+        ).sort_values("event_id", ignore_index=True)
+        assert np.allclose(
+            got[f"v{t}"].to_numpy(dtype=float),
+            exp[f"v{t}"].to_numpy(dtype=float),
+            equal_nan=True,
+        ), f"table {t} values diverge"
+        gm = pd.to_datetime(got[f"t{t}_matched_ts"])
+        em = pd.to_datetime(exp["feature_ts"])
+        assert gm.isna().equals(em.isna()), f"table {t} match-null divergence"
+        assert (gm.dropna().to_numpy() == em.dropna().to_numpy()).all()

@@ -146,25 +146,29 @@ def _q_mean_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_stacked_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference ``MeanScale.stack`` parity (_normalization.py:72-88):
-    three MeanScales fitted on separate lineitem columns, packaged via
-    ``MeanScale.stack`` into ONE array->array module whose per-element
-    (offset, divisor) pairs are plan-time constants — a single
-    whole-stage-codegen projection, no UDF."""
+    three MeanScales fitted on separate lineitem columns in ONE
+    Pipeline — the planner batches same-wave scalar fits into a single
+    ``df.agg`` (one scan for all three, plans/pipeline.py:148) —
+    packaged via ``MeanScale.stack`` into ONE array->array module whose
+    per-element (offset, divisor) pairs are plan-time constants: a
+    single whole-stage-codegen projection, no UDF.  Output is
+    scalarized to named double columns (the driver's canonicalizer
+    sorts rows in pandas and cannot sort list cells)."""
     li = _t(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
-    mods = []
-    for c in cols:
-        p = Pipeline({"y": Feature(c, [MeanScale()])})
-        p.fit(li)
-        mods.append(p.features["y"].ops[0])
-    stacked = MeanScale.stack(mods)
+    pipe = Pipeline({f"y{i}": Feature(c, [MeanScale()]) for i, c in enumerate(cols)})
+    pipe.fit(li)  # ONE shared-scan agg job fits all three scalers
+    stacked = MeanScale.stack([pipe.features[f"y{i}"].ops[0] for i in range(len(cols))])
     arr = stacked.expr(F.array(*[F.col(c).cast("double") for c in cols]))
     # + 0.0 folds IEEE -0.0 to +0.0 on both engines (DuckDB's ROUND
     # keeps the sign of a tiny negative quotient, Spark's drops it)
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.transform(arr, lambda x: F.round(x, 6) + F.lit(0.0)).alias("stacked"),
+        *[
+            (F.round(F.element_at(arr, i + 1), 6) + F.lit(0.0)).alias(f"stacked_{i}")
+            for i in range(len(cols))
+        ],
     )
 
 
@@ -2277,12 +2281,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stacked_scaler": """
             SELECT l_orderkey, l_linenumber,
-                   [ROUND((l_quantity - AVG(l_quantity) OVER ())
-                          / (MAX(l_quantity) OVER () - MIN(l_quantity) OVER ()), 6) + 0.0,
-                    ROUND((l_extendedprice - AVG(l_extendedprice) OVER ())
-                          / (MAX(l_extendedprice) OVER () - MIN(l_extendedprice) OVER ()), 6) + 0.0,
-                    ROUND((l_discount - AVG(l_discount) OVER ())
-                          / (MAX(l_discount) OVER () - MIN(l_discount) OVER ()), 6) + 0.0] AS stacked
+                   ROUND((l_quantity - AVG(l_quantity) OVER ())
+                         / (MAX(l_quantity) OVER () - MIN(l_quantity) OVER ()), 6) + 0.0
+                     AS stacked_0,
+                   ROUND((l_extendedprice - AVG(l_extendedprice) OVER ())
+                         / (MAX(l_extendedprice) OVER () - MIN(l_extendedprice) OVER ()), 6) + 0.0
+                     AS stacked_1,
+                   ROUND((l_discount - AVG(l_discount) OVER ())
+                         / (MAX(l_discount) OVER () - MIN(l_discount) OVER ()), 6) + 0.0
+                     AS stacked_2
             FROM lineitem
         """,
         # incremental fit(even)+fit_update(odd) merges min/max and counts

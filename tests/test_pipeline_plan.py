@@ -282,6 +282,17 @@ def test_multi_input_head_validation():
     # no ops at all
     with pytest.raises(TypeError, match="MultiTransform head"):
         Feature(["x", "y"])
+    # r7: a MultiTransform in a SINGLE-input feature is rejected at
+    # construction (previously an opaque expr() arity TypeError at
+    # compose/fit time)
+    with pytest.raises(TypeError, match="FIRST op of a multi-input"):
+        Feature("x", [Ratio()])
+    # ... and at any non-head position of a multi-input feature
+    with pytest.raises(TypeError, match="position 1"):
+        Feature(["x", "y"], [Ratio(), Ratio()])
+    # ... or after the head in a single-input chain
+    with pytest.raises(TypeError, match="FIRST op of a multi-input"):
+        Feature("x", [Clamp(0, 1), Ratio()])
 
 
 def test_multi_input_bind_time_kind_check(spark):

@@ -361,3 +361,39 @@ def test_stacked_scaler_matches_unstacked(spark):
 def test_stacked_scaler_requires_fitted():
     with pytest.raises(Exception):
         MeanScale.stack([MeanScale()])
+
+
+def test_stacked_fit_is_one_agg_job(spark, monkeypatch):
+    """The 3-scaler stacked fit must be ONE shared-scan agg job: all
+    three MeanScales live in one Pipeline wave, so the planner batches
+    their fit_aggs into a single df.agg (plans/pipeline.py:148) — the
+    reference fits a `.stack`-ed module as one module
+    (_normalization.py:71-88), not k sequential scans."""
+    import pyspark.sql.functions as F
+
+    from torchestra_spark.plans.pipeline import Feature, Pipeline
+
+    rng = np.random.RandomState(11)
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"a": rng.randn(100), "b": rng.rand(100), "c": rng.randn(100) * 4})
+    )
+
+    calls = []
+    orig = Pipeline._fit_scalar
+
+    def counting(df, ops, update=False):
+        calls.append(len(ops))
+        return orig(df, ops, update)
+
+    monkeypatch.setattr(Pipeline, "_fit_scalar", staticmethod(counting))
+
+    cols = ("a", "b", "c")
+    pipe = Pipeline({f"y{i}": Feature(c, [MeanScale()]) for i, c in enumerate(cols)})
+    assert len(pipe.waves) == 1  # all three fits resolve in one wave
+    pipe.fit(sdf)
+    assert calls == [3]  # ONE df.agg carrying all 3 ops' aggregates
+
+    mods = [pipe.features[f"y{i}"].ops[0] for i in range(3)]
+    stacked = MeanScale.stack(mods)
+    got = sdf.select(stacked.expr(F.array(*cols)).alias("s")).limit(1).collect()
+    assert len(got[0]["s"]) == 3

@@ -1350,21 +1350,95 @@ def test_dedup_clusters_reliable_checkpoint(spark, tmp_path):
     assert found, "no checkpoint files written to checkpoint_dir"
 
 
+def _stored_rdd_ids(spark):
+    """Ids of RDDs currently holding storage blocks.  Tests compare id
+    SETS, not counts: the ContextCleaner asynchronously reaps pinned
+    RDDs from earlier tests once their references are GC'd, so raw
+    block counts can shift mid-test."""
+    return {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+
+
 def test_release_pinned_frees_blocks(spark):
     """release_pinned must actually free localCheckpoint storage —
     DataFrame.unpersist() is a no-op on checkpoint blocks (they are not
     CacheManager entries)."""
     from torchestra_spark.functions.dedup import release_pinned
 
-    sc = spark.sparkContext
-
-    def n_blocks():
-        return len([i for i in sc._jsc.sc().getRDDStorageInfo()])
-
-    base = n_blocks()
+    base = _stored_rdd_ids(spark)
     ck = spark.range(10000).withColumn("x", F.col("id") * 2).localCheckpoint(eager=True)
-    assert n_blocks() == base + 1
+    mine = _stored_rdd_ids(spark) - base
+    assert len(mine) == 1
     ck.unpersist()  # documented no-op
-    assert n_blocks() == base + 1
+    assert mine <= _stored_rdd_ids(spark)
     release_pinned(ck)
-    assert n_blocks() == base
+    assert not (mine & _stored_rdd_ids(spark))
+
+
+def test_near_dup_report_release_frees_all_blocks(spark):
+    """near_dup_report returns ONE pinned frame; release_pinned(result)
+    must leave ZERO leftover storage blocks — the r6 version returned a
+    plain join of two pinned pair frames, whose blocks release_pinned
+    could not reach (a join plan is not a LogicalRDD, and checkpoint
+    blocks are invisible to unpersist)."""
+    import torchestra_spark.functions.dedup as D
+
+    docs = [(i, list(range(i % 7, i % 7 + 30))) for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, tokens array<long>")
+    base = _stored_rdd_ids(spark)
+    rep = D.near_dup_report(df, "tokens", "doc_id", max_bucket_size=None, max_fp_freq=None)
+    assert rep.count() > 0  # fully consume
+    mine = _stored_rdd_ids(spark) - base
+    assert mine  # the report itself is pinned
+    D.release_pinned(rep)
+    left = mine & _stored_rdd_ids(spark)
+    assert not left, f"near_dup_report leaked storage blocks: {left}"
+
+
+def test_sketch_pins_honor_checkpoint_dir(spark, tmp_path):
+    """r7: the two remaining sketch pins — simhash_hamming_pairs'
+    (id, sketch) table and winnow_near_dups' (id, fp) table — take
+    checkpoint_dir like the iterative cluster state: identical pairs,
+    and checkpoint files actually land in the directory."""
+    import os
+
+    docs = [(i, "the quick brown fox %d jumps over the lazy dog %d" % (i % 5, i % 5))
+            for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    for fn, kw in (
+        (D.simhash_near_dups, dict(max_bucket_size=None)),
+        (D.winnow_near_dups, dict(max_fp_freq=None)),
+    ):
+        local = {(r.id_a, r.id_b) for r in fn(df, "text", "doc_id", **kw).collect()}
+        ckdir = str(tmp_path / fn.__name__)
+        out = fn(df, "text", "doc_id", checkpoint_dir=ckdir, **kw)
+        reliable = {(r.id_a, r.id_b) for r in out.collect()}
+        assert reliable == local and local
+        found = []
+        for _root, _dirs, files in os.walk(ckdir):
+            found += files
+        assert found, f"{fn.__name__}: no checkpoint files in checkpoint_dir"
+        D.release_pinned(out)
+
+
+def test_vec_stage_quotes_odd_column_names(spark):
+    """r7 (advice): mapInArrow DDL schema strings must backtick-quote
+    passthrough field names — a column named e.g. 'doc id' or 'n-chars'
+    previously made the assembled schema string unparseable.  (DOTTED
+    names are out of scope: PySpark's own mapInArrow resolves input
+    columns via df[name], which parses dots as struct access.)"""
+    rng = np.random.RandomState(3)
+    X = rng.randn(12, 6)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc id": range(12),  # space
+                "n-chars": [len(str(i)) for i in range(12)],  # dash
+                "embedding": [row.tolist() for row in X],
+            }
+        )
+    )
+    out = S.lsh_buckets(df, "embedding", 6, 4, 42)
+    rows = out.collect()
+    assert len(rows) == 12 and "bucket" in out.columns
+    assert {r["doc id"] for r in rows} == set(range(12))

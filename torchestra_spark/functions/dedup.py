@@ -107,7 +107,15 @@ def release_pinned(df: DataFrame) -> None:
     an unpersist).  This reaches the LogicalRDD's backing RDD and
     unpersists it directly.  The frame cannot be recomputed afterwards
     (its lineage was truncated at checkpoint time) — call only once the
-    result is fully consumed."""
+    result is fully consumed.
+
+    Frames whose PLAN merely reads internal pinned intermediates (e.g.
+    the lazy pair plans from ``simhash_hamming_pairs`` /
+    ``winnow_near_dups``, which reference a pinned sketch table) carry
+    those intermediates in a ``_torchestra_pins`` attribute; they are
+    released first, so one call frees everything the frame owns."""
+    for inner in getattr(df, "_torchestra_pins", ()):  # internal pins first
+        release_pinned(inner)
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:
@@ -514,6 +522,7 @@ def simhash_hamming_pairs(
     tables: int = 4,
     sim_col: str = "simhash",
     max_bucket_size: Optional[int] = 1000,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b, hamming <= max_hamming) over a
     (id, simhash) sketch table.  Quadratic self-join avoided by
@@ -530,7 +539,10 @@ def simhash_hamming_pairs(
     # l/r self-join); materialize the tiny (id, 8-byte sketch) table
     # once instead of recomputing the sketch per reference (the exact
     # pattern minhash_dedup uses for its signature table).
-    sh = sh.select(F.col(id_col), F.col(sim_col)).localCheckpoint(eager=True)
+    # checkpoint_dir routes the pin to reliable storage (see _pin); the
+    # returned plan reads this table, so it rides _torchestra_pins and
+    # release_pinned(result) frees it.
+    sh = _pin(sh.select(F.col(id_col), F.col(sim_col)), checkpoint_dir)
     step = 64 // max(1, tables)
 
     def _rot(col: Column, r: int) -> Column:
@@ -566,7 +578,7 @@ def simhash_hamming_pairs(
     l = banded.alias("l")
     r = banded.alias("r")
     hamming = F.bit_count(F.col("l.__sh").bitwiseXOR(F.col("r.__sh")))
-    return (
+    out = (
         l.join(
             r,
             (F.col("l.table") == F.col("r.table"))
@@ -581,6 +593,8 @@ def simhash_hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+    out._torchestra_pins = [sh]  # freed by release_pinned(out)
+    return out
 
 
 def simhash_near_dups(
@@ -591,13 +605,14 @@ def simhash_near_dups(
     prefix_bits: int = 16,
     tables: int = 4,
     max_bucket_size: Optional[int] = 1000,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """Text near-dup pairs by simhash hamming distance with multi-table
     rotation blocking (see ``simhash_hamming_pairs``)."""
     sh = simhash64(df, text_col, id_col)
     return simhash_hamming_pairs(
         sh, id_col, max_hamming=max_hamming, prefix_bits=prefix_bits, tables=tables,
-        max_bucket_size=max_bucket_size,
+        max_bucket_size=max_bucket_size, checkpoint_dir=checkpoint_dir,
     )
 
 
@@ -609,6 +624,7 @@ def simhash_tokens_near_dups(
     prefix_bits: int = 16,
     tables: int = 4,
     max_bucket_size: Optional[int] = 1000,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """Near-dup pairs over INTEGER token-id sequences: splitmix64 token
     hashing makes the sketch AND the whole blocking+hamming path
@@ -618,7 +634,7 @@ def simhash_tokens_near_dups(
     sh = simhash_tokens(df, tokens_col, id_col)
     return simhash_hamming_pairs(
         sh, id_col, max_hamming=max_hamming, prefix_bits=prefix_bits, tables=tables,
-        max_bucket_size=max_bucket_size,
+        max_bucket_size=max_bucket_size, checkpoint_dir=checkpoint_dir,
     )
 
 
@@ -654,6 +670,7 @@ def winnow_near_dups(
     min_shared: int = 2,
     max_fp_freq: Optional[int] = 1000,
     fingerprints: Optional[Column] = None,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """Winnowing near-dup pairs: documents sharing >= ``min_shared``
     selected fingerprints (Schleimer et al., SIGMOD 2003).
@@ -688,8 +705,11 @@ def winnow_near_dups(
     # of pure optimizer CPU (measured: >10 min at 500 docs; 2 s with the
     # cut).  Materialize the tiny (id, fp) table once and hand all four
     # consumers a flat scan — at real scale you'd persist this to
-    # storage, exactly like the minhash signature table.
-    fps = fps.localCheckpoint(eager=True)
+    # storage, exactly like the minhash signature table.  checkpoint_dir
+    # routes the pin to reliable storage (see _pin); the returned plan
+    # reads this table, so it rides _torchestra_pins and
+    # release_pinned(result) frees it.
+    fps = _pin(fps, checkpoint_dir)
     # per-doc set sizes BEFORE the frequency cap: the overlap denominator
     # reflects the true fingerprint sets, the cap only prunes pair-gen
     sizes = fps.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
@@ -721,6 +741,7 @@ def winnow_near_dups(
             ).alias("overlap"),
         )
     )
+    out._torchestra_pins = [fps]  # freed by release_pinned(out)
     return out
 
 
@@ -882,42 +903,49 @@ def near_dup_report(
     while it is live and the per-doc sketch storage — the big block —
     is released before returning, same discipline as ``minhash_dedup``
     (pinning a per-doc fingerprint table for the session was the
-    round-2 cache-leak lesson).  The two PAIR checkpoints intentionally
-    stay pinned: the returned DataFrame reads them, so releasing here
-    would recompute the whole scan on first use.  They are pair-count
-    sized, not corpus-sized; callers looping over many corpora should
-    call ``release_pinned(result)`` after consuming it (NOT
-    ``unpersist()`` — checkpoint blocks are invisible to the
-    CacheManager, so a plain unpersist is a no-op on them)."""
+    round-2 cache-leak lesson).  The RESULT itself is pinned too: the
+    full-outer join of the two pair frames is materialized (pair-count
+    sized, cheap) and the sim/win intermediates released before
+    returning, so exactly ONE pinned frame leaves this function and
+    ``release_pinned(result)`` genuinely frees the last blocks —
+    releasing a plain join of pinned frames would be a no-op, because
+    a join plan is not a LogicalRDD and checkpoint blocks are invisible
+    to the CacheManager (``unpersist`` can't reach them either)."""
     sk = _pin(near_dup_sketches(df, tokens_col, id_col, k=k, w=w), checkpoint_dir)
     try:
-        sim = _pin(
-            simhash_hamming_pairs(
-                sk.select(id_col, "simhash"),
-                id_col,
-                max_hamming=max_hamming,
-                prefix_bits=prefix_bits,
-                tables=tables,
-                max_bucket_size=max_bucket_size,
-            ),
-            checkpoint_dir,
+        sim_raw = simhash_hamming_pairs(
+            sk.select(id_col, "simhash"),
+            id_col,
+            max_hamming=max_hamming,
+            prefix_bits=prefix_bits,
+            tables=tables,
+            max_bucket_size=max_bucket_size,
+            checkpoint_dir=checkpoint_dir,
         )
-        win = _pin(
-            winnow_near_dups(
-                sk,
-                "winnow_fps",
-                id_col,
-                min_shared=min_shared,
-                max_fp_freq=max_fp_freq,
-                fingerprints=F.col("winnow_fps"),
-            ),
-            checkpoint_dir,
+        sim = _pin(sim_raw, checkpoint_dir)
+        release_pinned(sim_raw)  # frees the internal (id, sketch) table pin
+        win_raw = winnow_near_dups(
+            sk,
+            "winnow_fps",
+            id_col,
+            min_shared=min_shared,
+            max_fp_freq=max_fp_freq,
+            fingerprints=F.col("winnow_fps"),
+            checkpoint_dir=checkpoint_dir,
         )
+        win = _pin(win_raw, checkpoint_dir)
+        release_pinned(win_raw)  # frees the internal (id, fp) table pin
     finally:
         # release the corpus-sized sketch blocks NOW — the pair frames
         # above were materialized eagerly and no longer read them
         release_pinned(sk)
-    return sim.join(win, ["id_a", "id_b"], "full_outer")
+    out = _pin(sim.join(win, ["id_a", "id_b"], "full_outer"), checkpoint_dir)
+    # the joined report is materialized; the per-pipeline pair blocks
+    # are no longer read by anything — free them so release_pinned(out)
+    # leaves zero blocks behind
+    release_pinned(sim)
+    release_pinned(win)
+    return out
 
 
 # ------------------------------------------------- simhash probe index

@@ -141,7 +141,7 @@ def _vec_matrix_stage(df: DataFrame, vec_col: str, dim: int, out_field: str, ker
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    parts = [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+    parts = [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
     out_schema = ", ".join(parts + [out_field])
     vec_name = vec_col
 
@@ -651,7 +651,7 @@ def pq_encode(
     # joined as a list so a vector-only input (no passthrough columns)
     # doesn't produce a leading-comma schema string
     parts = [
-        f"{f.name} {f.dataType.simpleString()}"
+        f"`{f.name}` {f.dataType.simpleString()}"
         for f in df.schema.fields
         if f.name != vec_col
     ]
@@ -808,7 +808,7 @@ def ivfpq_encode(
     m, ks, sub = B.shape
     c_norms = (C**2).sum(axis=1)
     parts = [
-        f"{f.name} {f.dataType.simpleString()}"
+        f"`{f.name}` {f.dataType.simpleString()}"
         for f in df.schema.fields
         if f.name != vec_col
     ]
@@ -876,7 +876,7 @@ def ivfpq_topk(
     import pyarrow.compute as pc
 
     cand = code_df.filter(F.col(cell_col).isin(probes))
-    parts = [f"{f.name} {f.dataType.simpleString()}" for f in cand.schema.fields]
+    parts = [f"`{f.name}` {f.dataType.simpleString()}" for f in cand.schema.fields]
     out_schema = ", ".join(parts + ["ivfpq_dist double"])
 
     def stage(batches):

@@ -75,9 +75,9 @@ class Feature:
             if not self.input_refs:
                 raise ValueError("Feature needs at least one input reference")
         self.ops: List[Transform] = list(ops or [])
-        if len(self.input_refs) > 1:
-            from torchestra_spark.core import MultiTransform
+        from torchestra_spark.core import MultiTransform
 
+        if len(self.input_refs) > 1:
             if not self.ops or not isinstance(self.ops[0], MultiTransform):
                 raise TypeError(
                     f"multi-input Feature({self.input_refs!r}) requires a "
@@ -91,6 +91,23 @@ class Feature:
                 )
             if isinstance(head, FittedTransform):
                 raise TypeError("a MultiTransform head cannot be a FittedTransform")
+        # a MultiTransform anywhere else would only surface at compose/
+        # fit time as an opaque arity TypeError from expr(); reject it
+        # at construction with an actionable message instead
+        tail_start = 1 if len(self.input_refs) > 1 else 0
+        for i, op in enumerate(self.ops[tail_start:], start=tail_start):
+            if isinstance(op, MultiTransform):
+                where = (
+                    f"a single-input Feature({self.input_refs[0]!r})"
+                    if len(self.input_refs) == 1
+                    else f"position {i} of a multi-input Feature"
+                )
+                raise TypeError(
+                    f"{type(op).__name__} is a MultiTransform and cannot sit in "
+                    f"{where}: multi-input ops fuse N input references and are "
+                    "only valid as the FIRST op of a multi-input Feature — "
+                    "write Feature(['a', 'b'], [" + type(op).__name__ + "(), ...])"
+                )
 
     @property
     def input_ref(self) -> str:

@@ -409,6 +409,37 @@ def _q_asof_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_serve_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FeatureStore SERVING composition under the oracle: fit on a
+    history slice (even event_ids) via ``store.build``, then run
+    ``store.serve_stream`` — broadcast as-of join + frozen pipeline
+    transform, the exact code path live streams take
+    (featurestore.py:160) — on the odd-event batch.  serve_stream's
+    body is pure DataFrame ops, so invoking it on a batch frame
+    exercises the IDENTICAL composition the stream runs (the
+    `tumbling_stats` batch-parity pattern); the streaming execution
+    itself keeps its pytest parity check (tests/test_featurestore.py).
+    Oracle: DuckDB ASOF join + z-score with history-slice statistics."""
+    from torchestra_spark.featurestore import FeatureStore
+
+    ev = _t(spark, sf_dir, "events")
+    history = ev.filter(F.col("event_id") % 2 == 0)
+    live = ev.filter(F.col("event_id") % 2 == 1)
+    feats = _purchase_features(spark, sf_dir)
+    store = FeatureStore(entity="user_id", ts="ts")
+    store.add_feature_table(feats, ts="feature_ts", name="purch", value_cols=["fval"])
+    store.add_pipeline(Pipeline({"value_z": Feature("value", [StandardScore()])}))
+    store.build(history, fit=True)  # freeze pipeline state on history
+    served = store.serve_stream(live)
+    return served.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("fval"), 6).alias("fval"),
+        F.col("purch_matched_ts").alias("purch_ts"),
+        F.round(F.col("value_z"), 6).alias("value_z"),
+    )
+
+
 def _q_asof_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical semantics under skew salting; salt_threshold=50 makes
     # most entities "hot" at sf0.01 (~67 probe rows each) so the
@@ -1206,6 +1237,52 @@ def _q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = decode_features(raw, n_features=4, decoder="real")
     mean = F.aggregate("features", F.lit(0.0), lambda a, x: a + x.cast("double")) / F.lit(4.0)
     return out.select("doc_id", F.round(mean, 6).alias("amp_mean"))
+
+
+def _q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The r7 stdlib PNG codec under the driver gate (the resize_bmp
+    # pattern): synthesize a deterministic (h0, w0) RGB PNG per doc —
+    # zlib IDAT, real container — decode it back with the pure-numpy
+    # scanline unfilterer (multimodal.decode_png_pixels), emit per-image
+    # dimensions + integer pixel checksum.  Every step is integer math,
+    # so the SQL oracle replays the exact pixels.
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from torchestra_spark.functions.multimodal import decode_png_pixels, encode_png
+
+    doc = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(4) + F.col("n_chars") % 5).alias("h0"),
+        (F.lit(4) + F.col("n_chars") % 7).alias("w0"),
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d, h0, w0 in zip(pdf["doc_id"], pdf["h0"], pdf["w0"]):
+                y, x, c = np.meshgrid(
+                    np.arange(int(h0)), np.arange(int(w0)), np.arange(3), indexing="ij"
+                )
+                px = ((int(d) * 31 + y * 7 + x * 3 + c) % 256).astype(np.uint8)
+                payloads.append(encode_png(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    raw = doc.mapInPandas(enc, "doc_id bigint, payload binary")
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs, ws, cks = [], [], []
+            for p in pdf["payload"]:
+                px = decode_png_pixels(bytes(p))
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+                cks.append(int(px.astype(np.int64).sum()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "h": hs, "w": ws, "checksum": cks})
+
+    return raw.mapInPandas(dec, "doc_id bigint, h int, w int, checksum bigint")
 
 
 def _q_resize_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2117,74 +2194,18 @@ def _q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order IS the driver-gate order: the gate checks the
     # FIRST 50 entries only, so the window rotates per round (every
-    # query must have a driver row no older than 2 rounds).  r6 window
-    # = the 31 queries whose last driver row is r4 (temporal/text/
-    # pipeline block) + the 4 new r6 queries (ratio_z, asof_multi,
-    # ivf_topk_stored, stacked_scaler) + 15 queries whose code changed
-    # in r6 (gopher signals, tokenizer casing, mapInArrow bucketing,
-    # dedup checkpointing, ANN train sampling; winnow_near_dups slides
-    # just past the window — its r5 row is green and its only r6 change
-    # is the shared _pin plumbing that near_dup_report/dedup_clusters
-    # exercise inside the window).  Everything past the window was
-    # hash-green in r5 with code untouched this round; rotate back in
-    # r7.  Local replica: scripts/check_oracle.py covers ALL rows.
+    # query must have a driver row no older than 2 rounds).  r7 window
+    # = the 34 queries whose last driver row is r5 (rotated back in
+    # first) + stacked_scaler (fixed this round: output scalarized,
+    # one-Pipeline fit — its r6 row was a harness error) + the 2 new r7
+    # queries (serve_pipeline, multimodal_decode_png) + 13 queries
+    # whose code changed in r7 (dedup.py pin/checkpoint_dir plumbing,
+    # similarity.py DDL quoting, pipeline.py Feature validation).
+    # Everything past the window was hash-green in r6 with r7-untouched
+    # semantics; rotate back in r8.  Local replica:
+    # scripts/check_oracle.py covers ALL rows.
     return {
-        # --- last driver row r4 — window first
-        "simhash_tokens": _q_simhash_tokens,
-        "multimodal_decode": _q_multimodal_decode,
-        "embedding_quantize": _q_embedding_quantize,
-        "ann_topk": _q_ann_topk,
-        "minhash_dedup": _q_minhash_dedup,
-        "cosine_topk": _q_cosine_topk,
-        "fit_update_incremental": _q_fit_update_incremental,
-        "fused_lookups": _q_fused_lookups,
-        "pipeline_multi_feature": _q_pipeline_multi_feature,
-        "grouped_zscore": _q_grouped_zscore,
-        "asof_join": _q_asof_join,
-        "asof_join_salted": _q_asof_join_salted,
-        "asof_join_merge_strategy": _q_asof_join_merge_strategy,
-        "asof_join_broadcast": _q_asof_join_broadcast,
-        "asof_join_tolerance": _q_asof_join_tolerance,
-        "asof_leakage_check": _q_asof_leakage_check,
-        "interval_join": _q_interval_join,
-        "lag_lead": _q_lag_lead,
-        "fill_forward": _q_fill_forward,
-        "rolling_stats": _q_rolling_stats,
-        "sessionize": _q_sessionize,
-        "doc_token_trunc": _q_doc_token_trunc,
-        "tokenized_pipeline": _q_tokenized_pipeline,
-        "token_count": _q_token_count,
-        "punct_ratio": _q_punct_ratio,
-        "lang_id": _q_lang_id,
-        "quality_score": _q_quality_score,
-        "stopword_ratio": _q_stopword_ratio,
-        "mixture_sample": _q_mixture_sample,
-        "corpus_curation": _q_corpus_curation,
-        "repetition_ratio": _q_repetition_ratio,
-        # --- new in r6
-        "ratio_z": _q_ratio_z,
-        "asof_multi": _q_asof_multi,
-        "ivf_topk_stored": _q_ivf_topk_stored,
-        "stacked_scaler": _q_stacked_scaler,
-        # --- code changed in r6
-        "gopher_filter": _q_gopher_filter,
-        "tokenize_vocab": _q_tokenize_vocab,
-        "tokenize_local": _q_tokenize_local,
-        "embedding_near_dups": _q_embedding_near_dups,
-        "ivf_topk": _q_ivf_topk,
-        "quantized_topk": _q_quantized_topk,
-        "near_dup_report": _q_near_dup_report,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_keep_best": _q_dedup_keep_best,
-        "pq_topk": _q_pq_topk,
-        "pq_rerank_topk": _q_pq_rerank_topk,
-        "ivfpq_topk": _q_ivfpq_topk,
-        "ivfpq_rerank_topk": _q_ivfpq_rerank_topk,
-        "near_dup_probe": _q_near_dup_probe,
-        "decontaminate_indexed": _q_decontaminate_indexed,
-        "winnow_near_dups": _q_winnow_near_dups,
-        # ---------------- past the 50-row gate window from here on:
-        # ALL hash-green in CORRECTNESS_r05 with r6-untouched code
+        # --- last driver row r5 — window first
         "c4_filter": _q_c4_filter,
         "exact_dedup": _q_exact_dedup,
         "mark_exact_dups": _q_mark_exact_dups,
@@ -2219,6 +2240,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_real": _q_multimodal_decode_real,
         "hash_bucket": _q_hash_bucket,
         "simhash_tokens_near_dups": _q_simhash_tokens_near_dups,
+        # --- fixed in r7 (r6 row was a driver-harness error)
+        "stacked_scaler": _q_stacked_scaler,
+        # --- new in r7
+        "serve_pipeline": _q_serve_pipeline,
+        "multimodal_decode_png": _q_multimodal_decode_png,
+        # --- code changed in r7
+        "near_dup_report": _q_near_dup_report,
+        "winnow_near_dups": _q_winnow_near_dups,
+        "dedup_clusters": _q_dedup_clusters,
+        "minhash_dedup": _q_minhash_dedup,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "ann_topk": _q_ann_topk,
+        "ivf_topk_stored": _q_ivf_topk_stored,
+        "pq_topk": _q_pq_topk,
+        "ivfpq_topk": _q_ivfpq_topk,
+        "ratio_z": _q_ratio_z,
+        "pipeline_multi_feature": _q_pipeline_multi_feature,
+        "near_dup_probe": _q_near_dup_probe,
+        "decontaminate_indexed": _q_decontaminate_indexed,
+        # ---------------- past the 50-row gate window from here on:
+        # ALL hash-green in CORRECTNESS_r06 with r7-untouched semantics
+        "simhash_tokens": _q_simhash_tokens,
+        "multimodal_decode": _q_multimodal_decode,
+        "embedding_quantize": _q_embedding_quantize,
+        "cosine_topk": _q_cosine_topk,
+        "fit_update_incremental": _q_fit_update_incremental,
+        "fused_lookups": _q_fused_lookups,
+        "grouped_zscore": _q_grouped_zscore,
+        "asof_join": _q_asof_join,
+        "asof_join_salted": _q_asof_join_salted,
+        "asof_join_merge_strategy": _q_asof_join_merge_strategy,
+        "asof_join_broadcast": _q_asof_join_broadcast,
+        "asof_join_tolerance": _q_asof_join_tolerance,
+        "asof_leakage_check": _q_asof_leakage_check,
+        "interval_join": _q_interval_join,
+        "lag_lead": _q_lag_lead,
+        "fill_forward": _q_fill_forward,
+        "rolling_stats": _q_rolling_stats,
+        "sessionize": _q_sessionize,
+        "doc_token_trunc": _q_doc_token_trunc,
+        "tokenized_pipeline": _q_tokenized_pipeline,
+        "token_count": _q_token_count,
+        "punct_ratio": _q_punct_ratio,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality_score,
+        "stopword_ratio": _q_stopword_ratio,
+        "mixture_sample": _q_mixture_sample,
+        "corpus_curation": _q_corpus_curation,
+        "repetition_ratio": _q_repetition_ratio,
+        "asof_multi": _q_asof_multi,
+        "gopher_filter": _q_gopher_filter,
+        "tokenize_vocab": _q_tokenize_vocab,
+        "tokenize_local": _q_tokenize_local,
+        "ivf_topk": _q_ivf_topk,
+        "quantized_topk": _q_quantized_topk,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "pq_rerank_topk": _q_pq_rerank_topk,
+        "ivfpq_rerank_topk": _q_ivfpq_rerank_topk,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -2699,6 +2778,34 @@ def oracle_sql() -> dict[str, str]:
         # resize_bmp: nearest-neighbor index picks replayed as integer
         # math over the synthesized source pixels — resized pixel
         # (j,i,c) of doc d is (d*31 + ((j*h0)//6)*7 + ((i*w0)//5)*3 + c) % 256
+        "multimodal_decode_png": """
+            WITH src AS (
+              SELECT doc_id, 4 + n_chars % 5 AS h0, 4 + n_chars % 7 AS w0
+              FROM documents
+            )
+            SELECT s.doc_id, CAST(s.h0 AS INT) AS h, CAST(s.w0 AS INT) AS w,
+                   CAST(SUM((s.doc_id*31 + j.range*7 + i.range*3 + c.range) % 256)
+                        AS BIGINT) AS checksum
+            FROM src s
+            CROSS JOIN range(8) j CROSS JOIN range(10) i CROSS JOIN range(3) c
+            WHERE j.range < s.h0 AND i.range < s.w0
+            GROUP BY 1, 2, 3
+        """,
+        "serve_pipeline": """
+            WITH f AS (
+                SELECT user_id, ts AS feature_ts, MAX(value) AS fval
+                FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+            )
+            SELECT e.event_id, e.user_id,
+                   ROUND(f.fval, 6) AS fval, f.feature_ts AS purch_ts,
+                   ROUND((e.value
+                          - (SELECT AVG(value) FROM events WHERE event_id % 2 = 0))
+                         / (SELECT STDDEV_SAMP(value) FROM events WHERE event_id % 2 = 0),
+                         6) AS value_z
+            FROM events e
+            ASOF LEFT JOIN f ON e.user_id = f.user_id AND e.ts >= f.feature_ts
+            WHERE e.event_id % 2 = 1
+        """,
         "resize_bmp": """
             WITH src AS (
               SELECT doc_id, 4 + n_chars % 5 AS h0, 4 + n_chars % 7 AS w0

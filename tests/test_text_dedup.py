@@ -213,10 +213,119 @@ def test_multimodal_decode_plumbing(spark):
 
 
 def test_multimodal_real_decoder_unsupported_format(spark):
-    # png/jpeg/video still raise at the PIL/ffmpeg integration point
-    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "payload": [b"\x89PNG then junk"]}))
+    # jpeg/video still raise at the PIL/ffmpeg integration point
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "payload": [b"\xff\xd8\xff jpeg junk"]}))
     with pytest.raises(Exception):  # NotImplementedError surfaces via Py4J
         M.decode_features(df, decoder="real").collect()
+
+
+def _png_with_filters(px: np.ndarray, filters) -> bytes:
+    """Encode (h, w, c) uint8 with an EXPLICIT per-row filter type —
+    computes the filtered bytes by inverting the decoder's recurrences,
+    so the test exercises every unfilter path against known pixels."""
+    import struct
+    import zlib
+
+    h, w, c = px.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    flat = px.reshape(h, w * c).astype(np.int64)
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int64)
+    for y in range(h):
+        row, f = flat[y], filters[y]
+        left = np.concatenate([np.zeros(c, np.int64), row[:-c]]) if w * c > c else np.zeros_like(row)
+        upleft = np.concatenate([np.zeros(c, np.int64), prev[:-c]]) if w * c > c else np.zeros_like(row)
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = (row - left) % 256
+        elif f == 2:
+            enc = (row - prev) % 256
+        elif f == 3:
+            enc = (row - (left + prev) // 2) % 256
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+            enc = (row - pred) % 256
+        raw += bytes([f]) + enc.astype(np.uint8).tobytes()
+        prev = row
+    return (
+        M.PNG_MAGIC
+        + M._png_chunk(b"IHDR", ihdr)
+        + M._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + M._png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_exact():
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    got = M.decode_png_pixels(M.encode_png(px))
+    assert np.array_equal(got, px)
+    lum = M.decode_png(M.encode_png(px))
+    rgb = px.astype(np.float32) / 255.0
+    exp = rgb[:, :, 0] * 0.299 + rgb[:, :, 1] * 0.587 + rgb[:, :, 2] * 0.114
+    assert np.allclose(lum, exp, atol=1e-6)
+
+
+def test_png_all_filter_types_and_color_types():
+    """Every scanline filter (None/Sub/Up/Average/Paeth) and color type
+    (gray / gray+alpha / RGB / RGBA) unfilters back to the exact pixels."""
+    rng = np.random.RandomState(11)
+    for c in (1, 2, 3, 4):
+        px = rng.randint(0, 256, size=(5, 4, c), dtype=np.uint8)
+        payload = _png_with_filters(px, filters=[0, 1, 2, 3, 4])
+        got = M.decode_png_pixels(payload)
+        if c == 1:
+            exp = np.repeat(px, 3, axis=2)
+        elif c == 2:
+            exp = np.repeat(px[:, :, :1], 3, axis=2)
+        elif c == 4:
+            exp = px[:, :, :3]
+        else:
+            exp = px
+        assert np.array_equal(got, exp), f"channels={c}"
+
+
+def test_png_unsupported_variants():
+    import struct
+    import zlib
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = M.encode_png(px)
+    # 16-bit depth
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    bad = M.PNG_MAGIC + M._png_chunk(b"IHDR", ihdr16) + good[8 + 25:]
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        M.decode_png_pixels(bad)
+    # interlaced
+    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    bad = M.PNG_MAGIC + M._png_chunk(b"IHDR", ihdr_i) + good[8 + 25:]
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        M.decode_png_pixels(bad)
+    # palette
+    ihdr_p = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    bad = M.PNG_MAGIC + M._png_chunk(b"IHDR", ihdr_p) + good[8 + 25:]
+    with pytest.raises(NotImplementedError, match="palette"):
+        M.decode_png_pixels(bad)
+    with pytest.raises(ValueError, match="not a PNG"):
+        M.decode_png_pixels(b"BMnot a png")
+
+
+def test_real_decode_features_png(spark):
+    """decode_features(decoder='real') sniffs PNG by magic and pools the
+    decoded luminance — a white PNG pools to 1.0 in every bucket."""
+    px = np.full((4, 4, 3), 255, dtype=np.uint8)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "payload": [M.encode_png(px)]})
+    )
+    rows = {
+        r["doc_id"]: r["features"]
+        for r in M.decode_features(df, n_features=4, decoder="real").collect()
+    }
+    assert np.allclose(rows[1], [1.0] * 4, atol=1e-5)
 
 
 def test_bmp_roundtrip_exact():

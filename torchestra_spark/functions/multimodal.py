@@ -60,10 +60,11 @@ def attach_media_metadata(
 
 
 # --------------------------------------------------------- real codecs
-# Pure-numpy decoders for the two container formats that need no
-# external codec library: uncompressed 24-bit BMP and 16-bit PCM WAV.
-# This makes decoder="real" a working path in this environment; other
-# formats (png/jpeg/mp4/...) remain the documented integration stub.
+# Pure-numpy/stdlib decoders for the container formats that need no
+# external codec library: uncompressed 24-bit BMP, non-interlaced 8-bit
+# PNG (zlib inflate + scanline unfiltering), and 16-bit PCM WAV.  This
+# makes decoder="real" a working path in this environment; jpeg/mp4
+# remain the documented integration stub.
 
 
 def encode_bmp(pixels: np.ndarray) -> bytes:
@@ -133,6 +134,129 @@ def decode_bmp_pixels(payload: bytes) -> np.ndarray:
     return rows[:, :, ::-1].copy()  # BGR -> RGB
 
 
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> non-interlaced 8-bit truecolor PNG bytes
+    (filter-0 scanlines, one zlib IDAT) — test/synthesis helper, the
+    ``encode_bmp`` twin."""
+    import struct
+    import zlib
+
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(payload: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit PNG (grayscale / RGB / gray+alpha / RGBA)
+    -> (h, w, 3) uint8 RGB, pure stdlib+numpy: ``zlib`` inflate + per-
+    scanline unfiltering.  Filter types 0-4 are all supported: None and
+    Up are whole-row vector ops, Sub is a per-channel-lane cumsum mod
+    256, Average/Paeth recurse on the in-row left neighbor so they fall
+    back to a per-byte loop (our encoder emits filter 0, so the oracle
+    path never pays it).  Palette (color type 3), 16-bit and Adam7-
+    interlaced PNGs raise NotImplementedError.  Alpha is dropped,
+    grayscale replicated to 3 channels."""
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = []
+    w = h = ctype = None
+    while pos + 8 <= len(payload):
+        ln = struct.unpack_from(">I", payload, pos)[0]
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise NotImplementedError(f"only 8-bit PNG supported (depth={depth})")
+            if ctype not in (0, 2, 4, 6):
+                raise NotImplementedError("palette PNG (color type 3) not supported")
+            if interlace != 0:
+                raise NotImplementedError("Adam7-interlaced PNG not supported")
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    stride = w * ch + 1
+    lines = np.frombuffer(raw, np.uint8, count=stride * h).reshape(h, stride)
+    filters = lines[:, 0]
+    data = lines[:, 1:].astype(np.int64)
+    recon = np.zeros((h, w * ch), dtype=np.uint8)
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        f, row = int(filters[y]), data[y]
+        if f == 0:  # None
+            r = row
+        elif f == 1:  # Sub: per-channel-lane cumsum mod 256
+            r = row.reshape(w, ch).cumsum(axis=0).reshape(-1) % 256
+        elif f == 2:  # Up
+            r = (row + prev) % 256
+        elif f in (3, 4):  # Average / Paeth: left-recursive, per byte
+            r = np.zeros(w * ch, dtype=np.int64)
+            for x in range(w * ch):
+                a = int(r[x - ch]) if x >= ch else 0  # left
+                b = int(prev[x])  # up
+                if f == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0  # up-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                r[x] = (int(row[x]) + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        recon[y] = r
+        prev = r.astype(np.int64)
+    img = recon.reshape(h, w, ch)
+    if ctype == 0:
+        return np.repeat(img, 3, axis=2)
+    if ctype == 4:
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    if ctype == 6:
+        return img[:, :, :3].copy()
+    return img
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit PNG -> (h, w) float32 luminance in [0,1]
+    (the ``decode_bmp`` twin; same Rec.601 weights)."""
+    rgb = decode_png_pixels(payload).astype(np.float32) / 255.0
+    return rgb[:, :, 0] * 0.299 + rgb[:, :, 1] * 0.587 + rgb[:, :, 2] * 0.114
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     """float samples in [-1,1] -> 16-bit PCM mono WAV bytes."""
     import struct
@@ -199,17 +323,20 @@ def _pool_features(signal: np.ndarray, n: int) -> np.ndarray:
 
 def _real_decode(payload: bytes, n: int) -> np.ndarray:
     """Sniff the container by magic bytes and decode with the pure-numpy
-    codec; unsupported formats raise NotImplementedError (png/jpeg/video
+    codec; unsupported formats raise NotImplementedError (jpeg/video
     need PIL/ffmpeg — the documented integration point)."""
     if payload is None or len(payload) == 0:
         return np.zeros(n, dtype=np.float32)
     if payload[:2] == b"BM":
         return _pool_features(decode_bmp(payload).ravel(), n)
+    if payload[:8] == PNG_MAGIC:
+        return _pool_features(decode_png(payload).ravel(), n)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _pool_features(decode_wav(payload), n)
     raise NotImplementedError(
-        "real decoding supports uncompressed BMP and 16-bit PCM WAV here; "
-        "png/jpeg/video require PIL/ffmpeg (not available in this environment)"
+        "real decoding supports uncompressed BMP, non-interlaced 8-bit "
+        "PNG, and 16-bit PCM WAV here; jpeg/video require PIL/ffmpeg "
+        "(not available in this environment)"
     )
 
 

@@ -690,11 +690,14 @@ def test_ann_recall_floor(spark):
         df, "embedding", "vec_id", k=10,
         search_fns={
             "lsh": lambda d, q: S.ann_topk(d, "embedding", q, k=10, n_planes=6,
-                                           n_probes=2, tables=8),
+                                           n_probes=4, tables=8),
             "ivf": lambda d, q: S.ivf_topk(d, "embedding", q, C, k=10, n_probes=4),
         },
-        n_queries=10,
+        n_queries=20,
     )
+    # measured 0.95 / 0.925 under the r7 deterministic hash-order query
+    # sample (the rng-permutation picks this replaced measured slightly
+    # different query sets; the geometry floor is what matters)
     assert r["lsh"] >= 0.9 and r["ivf"] >= 0.9
     df.unpersist()
 
@@ -1551,3 +1554,25 @@ def test_vec_stage_quotes_odd_column_names(spark):
     rows = out.collect()
     assert len(rows) == 12 and "bucket" in out.columns
     assert {r["doc id"] for r in rows} == set(range(12))
+
+
+def test_exact_topk_multi_matches_numpy(spark):
+    """The one-pass distributed ground truth (r7 recall_at_k rewrite)
+    must equal the full-corpus numpy brute force it replaced — same
+    cosine ordering, same id-ascending tie-break — across multiple
+    partitions (local top-k union correctness)."""
+    rng = np.random.RandomState(21)
+    X = rng.randn(300, 16)
+    X[7] = X[3]  # exact duplicate -> sim tie, id tie-break exercised
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(300), "embedding": [r.tolist() for r in X]})
+    ).repartition(8)
+    Q = X[[5, 50, 200]]
+    got = S.exact_topk_multi(df, "embedding", "vec_id", Q, k=10)
+    ids = np.arange(300)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    for j in range(3):
+        q = Q[j] / max(float(np.linalg.norm(Q[j])), 1e-30)
+        sims = Xn @ q
+        order = np.lexsort((ids, -sims))[:10]
+        assert got[j] == ids[order].tolist(), j

@@ -547,6 +547,67 @@ def _infer_dim(df: DataFrame, vec_col: str) -> int:
     return int(row["d"])
 
 
+def exact_topk_multi(
+    df: DataFrame, vec_col: str, id_col: str, Q: np.ndarray, k: int
+) -> dict:
+    """Exact cosine top-k ids for EVERY row of the (q, d) query matrix
+    ``Q`` in ONE distributed corpus pass: the normalized query matrix
+    rides the task closure (q·d doubles), each Arrow batch computes the
+    full (batch, q) similarity block with one matmul over the flat
+    ListArray buffer and keeps its LOCAL top-k per query, and a
+    q-partitioned window takes the global top-k over the surviving
+    (partitions × k × q) candidate rows — exact because the global
+    top-k is a subset of the union of local top-ks.  Ties break by id
+    ascending.  Returns {query_index: [ids best-first]}.
+
+    This is the scale path for exact ground truth: no full-corpus
+    collect, one scan for ALL queries, shuffle bounded by q·k·parts."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pyspark.sql import Window
+
+    Q = np.ascontiguousarray(Q, dtype=np.float64)
+    nq, dim = Q.shape
+    Qn = (Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)).T
+    id_type = df.schema[id_col].dataType.simpleString()
+    sel = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+
+    def stage(batches):
+        for b in batches:
+            arr = b.column(1)
+            n = len(arr)
+            if not n:
+                continue
+            flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False).astype(np.float64)
+            X = flat.reshape(n, dim)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+            S = Xn @ Qn  # (n, nq)
+            kk = min(k, n)
+            part = np.argpartition(-S, kk - 1, axis=0)[:kk]  # (kk, nq) row idx
+            rows = part.ravel()  # C order: (i, j) -> i*nq + j
+            qcol = np.tile(np.arange(nq, dtype=np.int32), kk)
+            ids = b.column(0).take(pa.array(rows, type=pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(qcol, type=pa.int32()), ids,
+                 pa.array(S[rows, qcol], type=pa.float64())],
+                ["q", "__id", "sim"],
+            )
+
+    scored = sel.mapInArrow(stage, f"q int, `__id` {id_type}, sim double")
+    w = Window.partitionBy("q").orderBy(F.col("sim").desc(), F.col("__id").asc())
+    top = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("q", "__id", "__rn")
+        .collect()
+    )
+    out: dict = {j: [] for j in range(nq)}
+    for r in sorted(top, key=lambda r: (r["q"], r["__rn"])):
+        out[r["q"]].append(r["__id"])
+    return out
+
+
 def recall_at_k(
     df: DataFrame,
     vec_col: str,
@@ -561,27 +622,27 @@ def recall_at_k(
 
     ``search_fns`` maps a label -> callable(df, query_vec: list) ->
     DataFrame containing ``id_col`` (the ANN top-k).  Queries are
-    ``n_queries`` corpus vectors picked by a seeded permutation.  Ground
-    truth is computed numpy-side from a driver collect — by definition
-    recall needs the full corpus; at 100 TB run this harness on a
-    bounded SAMPLE of the corpus, the recall of the LSH/IVF geometry is
-    size-invariant at fixed bucket occupancy."""
-    pdf = df.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy()
-    X = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
-    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
-    rng = np.random.RandomState(seed)
-    q_rows = rng.choice(len(X), size=min(n_queries, len(X)), replace=False)
+    ``n_queries`` corpus vectors picked by a deterministic seeded hash
+    order (the ``_train_sample`` discipline — partition- and
+    rerun-stable).  Ground truth comes from ``exact_topk_multi``: one
+    distributed brute-force pass for ALL queries — no full-corpus
+    driver collect, so the harness runs unchanged on a 100 TB corpus
+    (the GT pass costs one scan; the per-fn ANN searches dominate)."""
+    qpdf = (
+        df.select(F.xxhash64(F.lit(seed), vec_col).alias("__h"), vec_col)
+        .orderBy("__h", vec_col)
+        .limit(n_queries)
+        .select(vec_col)
+        .toPandas()
+    )
+    Q = np.stack(qpdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+    truth = exact_topk_multi(df, vec_col, id_col, Q, k)
     out = {}
     for name, fn in search_fns.items():
         recalls = []
-        for qi in q_rows:
-            q = X[qi]
-            sims = Xn @ (q / max(float(np.linalg.norm(q)), 1e-30))
-            order = np.lexsort((ids, -sims))[:k]
-            truth = set(ids[order].tolist())
-            got = {r[id_col] for r in fn(df, q.tolist()).collect()}
-            recalls.append(len(got & truth) / k)
+        for j in range(Q.shape[0]):
+            got = {r[id_col] for r in fn(df, Q[j].tolist()).collect()}
+            recalls.append(len(got & set(truth[j])) / k)
         out[name] = float(np.mean(recalls))
     return out
 

@@ -279,3 +279,38 @@ def test_asof_multi_fused_single_window_pass(spark, events):
         )
     seq = _plan(out)
     assert seq.count("Window") == 3  # the cost the fusion removes
+
+
+def test_asof_multi_fused_plan_invariant_in_k(spark, events):
+    """r7 (verdict item 8): the fused plan's Window/Sort count must NOT
+    grow with the number of feature tables — at k=8 it is still ONE
+    Window over one sorted spine (wide value structs included), while
+    the sequential loop pays k Windows.  This is the claim that makes
+    the fused path linear-in-k at 100 TB: the probe spine moves once."""
+    import pyspark.sql.functions as F
+
+    from torchestra_spark.io.sources import feature_events
+    from torchestra_spark.operators.temporal import asof_join_multi
+
+    feats = feature_events(spark, n_entities=50, partitions=2)
+    for k in (2, 8):
+        tables = [
+            dict(
+                name=f"f{i}",
+                df=feats.select(
+                    "user_id",
+                    "feature_ts",
+                    (F.col("fval") * (i + 1)).alias(f"v{i}"),
+                    (F.col("fval") + i).alias(f"w{i}"),  # wide struct: 2 cols/table
+                ),
+                ts="feature_ts",
+                value_cols=[f"v{i}", f"w{i}"],
+            )
+            for i in range(k)
+        ]
+        fused = _plan(asof_join_multi(events, tables, on="user_id", left_ts="ts"))
+        assert fused.count("Window") == 1, k
+        assert len(
+            [l for l in fused.splitlines() if "Sort " in l or l.strip().startswith("Sort")]
+        ) <= 2, k
+        assert "ArrowEvalPython" not in fused and "BatchEvalPython" not in fused

@@ -1576,3 +1576,31 @@ def test_exact_topk_multi_matches_numpy(spark):
         sims = Xn @ q
         order = np.lexsort((ids, -sims))[:10]
         assert got[j] == ids[order].tolist(), j
+
+
+def test_resize_image_mixed_containers(spark):
+    """resize_image sniffs per-payload container (BMP vs PNG), resizes
+    with the shared nearest-neighbor kernel, and re-encodes in the SAME
+    container — pixel-exact vs resizing numpy-side."""
+    rng = np.random.RandomState(13)
+    px_a = rng.randint(0, 256, size=(8, 6, 3), dtype=np.uint8)
+    px_b = rng.randint(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "payload": [M.encode_bmp(px_a), M.encode_png(px_b), None],
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: r["payload"]
+        for r in M.resize_image(df, width=4, height=3).collect()
+    }
+    assert out[3] is None
+    assert bytes(out[1])[:2] == b"BM" and bytes(out[2])[:8] == M.PNG_MAGIC
+    for doc, px, dec in ((1, px_a, M.decode_bmp_pixels), (2, px_b, M.decode_png_pixels)):
+        h0, w0 = px.shape[:2]
+        yi = (np.arange(3) * h0) // 3
+        xi = (np.arange(4) * w0) // 4
+        assert np.array_equal(dec(bytes(out[doc])), px[yi][:, xi]), doc

@@ -426,6 +426,56 @@ def resize_bmp(
     return out.withColumnRenamed("__id", id_col)
 
 
+def resize_image(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    width: int = 224,
+    height: int = 224,
+) -> DataFrame:
+    """Container-preserving image resize over MIXED binary payloads:
+    sniffs each payload by magic (BMP or PNG), decodes with the
+    pure-numpy codec, nearest-neighbor resamples to (height, width),
+    and re-encodes in the SAME container — the ``resize_bmp`` kernel
+    generalized to a heterogeneous image column (the realistic corpus
+    shape: one binary column, many formats).  NULL payloads pass
+    through; unsupported containers raise at the codec (same contract
+    as ``decode_features``)."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    from torchestra_spark.functions.dedup import _ensure_parallelism
+
+    sel = _ensure_parallelism(
+        df.select(F.col(id_col).alias("__id"), F.col(payload_col).alias("__p"))
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for p in pdf["__p"]:
+                if p is None:
+                    outs.append(None)
+                    continue
+                b = bytes(p)
+                if b[:2] == b"BM":
+                    dec, enc = decode_bmp_pixels, encode_bmp
+                elif b[:8] == PNG_MAGIC:
+                    dec, enc = decode_png_pixels, encode_png
+                else:
+                    raise NotImplementedError(
+                        "resize_image supports BMP and non-interlaced 8-bit "
+                        "PNG; jpeg requires PIL (not available here)"
+                    )
+                px = dec(b)
+                h0, w0 = px.shape[:2]
+                yi = (np.arange(height, dtype=np.int64) * h0) // height
+                xi = (np.arange(width, dtype=np.int64) * w0) // width
+                outs.append(enc(px[yi][:, xi]))
+            yield pd.DataFrame({"__id": pdf["__id"], "payload": outs})
+
+    out = sel.mapInPandas(run, f"__id {id_type}, payload binary")
+    return out.withColumnRenamed("__id", id_col)
+
+
 def resize_stub(
     df: DataFrame,
     payload_col: str = "payload",

@@ -314,3 +314,29 @@ def test_asof_multi_fused_plan_invariant_in_k(spark, events):
             [l for l in fused.splitlines() if "Sort " in l or l.strip().startswith("Sort")]
         ) <= 2, k
         assert "ArrowEvalPython" not in fused and "BatchEvalPython" not in fused
+
+
+def test_serve_pipeline_no_shuffle_on_event_side(spark, events):
+    """r7: the FeatureStore SERVING composition (broadcast as-of +
+    frozen pipeline transform — the exact serve_stream code path) must
+    not shuffle the event side at all: the feature snapshot broadcasts
+    and the fitted transforms are pure projections, so the plan has
+    ZERO Exchange operators — the property that makes the same
+    composition streaming-legal and shuffle-free at serving time."""
+    import pyspark.sql.functions as F
+
+    from torchestra_spark import Feature, Pipeline, StandardScore
+    from torchestra_spark.featurestore import FeatureStore
+    from torchestra_spark.io.sources import feature_events
+
+    feats = feature_events(spark, n_entities=50, partitions=2)
+    store = FeatureStore(entity="user_id", ts="ts")
+    store.add_feature_table(feats, ts="feature_ts", name="f", value_cols=["fval"])
+    store.add_pipeline(Pipeline({"value_z": Feature("value", [StandardScore()])}))
+    store.build(events.limit(5000), fit=True)  # freeze pipeline state
+
+    served = store.serve_stream(events)
+    plan = _plan(served)
+    assert "Exchange" not in plan, plan
+    # sanity: the composition actually produces the columns
+    assert {"value_z", "fval", "f_matched_ts"} <= set(served.columns)

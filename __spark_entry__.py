@@ -1285,6 +1285,55 @@ def _q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.mapInPandas(dec, "doc_id bigint, h int, w int, checksum bigint")
 
 
+def _q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The r7 pure-numpy BASELINE JPEG codec under the driver gate.
+    # JPEG is lossy (float DCT), so no bit-exact oracle exists; instead
+    # the codec contract becomes a CHECKED INVARIANT (the tdigest_cdf
+    # pattern): a constant-color image round-trips within quantization
+    # tolerance — measured worst-case error 3 across the color cube
+    # (DC-only blocks + YCbCr rounding), checked at <= 4.  The query
+    # synthesizes one constant-color (h0, w0) JPEG per doc (color and
+    # dims derived from n_chars/doc_id), decodes it with
+    # jpeg.decode_jpeg_pixels, and returns the TOTAL violation count
+    # plus a decoded-dimension checksum; the oracle pins both.
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from torchestra_spark.functions.jpeg import decode_jpeg_pixels, encode_jpeg
+
+    doc = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(8) + F.col("n_chars") % 9).alias("h0"),
+        (F.lit(8) + F.col("n_chars") % 13).alias("w0"),
+        (F.col("doc_id") * 37 % 256).alias("r"),
+        (F.col("doc_id") * 59 % 256).alias("g"),
+        (F.col("doc_id") * 83 % 256).alias("b"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            viol, dims = [], []
+            for d, h0, w0, r, g, b in zip(
+                pdf["doc_id"], pdf["h0"], pdf["w0"], pdf["r"], pdf["g"], pdf["b"]
+            ):
+                px = np.empty((int(h0), int(w0), 3), dtype=np.uint8)
+                px[..., 0], px[..., 1], px[..., 2] = int(r), int(g), int(b)
+                dec = decode_jpeg_pixels(encode_jpeg(px))
+                err = np.abs(dec.astype(np.int64) - px.astype(np.int64))
+                viol.append(int((err > 4).sum()) + int(dec.shape != px.shape) * 10**6)
+                dims.append(int(dec.shape[0] * 1000 + dec.shape[1]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "violations": viol, "dims": dims})
+
+    out = doc.mapInPandas(run, "doc_id bigint, violations bigint, dims bigint")
+    return out.agg(
+        F.sum("violations").alias("violations"),
+        F.sum("dims").alias("dims_checksum"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
 def _q_resize_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the media WRITE path under the driver gate (r4 verdict item 4):
     # synthesize a deterministic (h0, w0) RGB BMP per doc, resize to
@@ -2245,6 +2294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r7
         "serve_pipeline": _q_serve_pipeline,
         "multimodal_decode_png": _q_multimodal_decode_png,
+        "multimodal_decode_jpeg": _q_multimodal_decode_jpeg,
         # --- code changed in r7
         "near_dup_report": _q_near_dup_report,
         "winnow_near_dups": _q_winnow_near_dups,
@@ -2258,9 +2308,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ratio_z": _q_ratio_z,
         "pipeline_multi_feature": _q_pipeline_multi_feature,
         "near_dup_probe": _q_near_dup_probe,
-        "decontaminate_indexed": _q_decontaminate_indexed,
         # ---------------- past the 50-row gate window from here on:
         # ALL hash-green in CORRECTNESS_r06 with r7-untouched semantics
+        # (decontaminate_indexed slid just past to make room for
+        # multimodal_decode_jpeg: its r6 row is green and its only r7
+        # change is the shared pin plumbing near_dup_probe exercises
+        # inside the window; rotates back in r8)
+        "decontaminate_indexed": _q_decontaminate_indexed,
         "simhash_tokens": _q_simhash_tokens,
         "multimodal_decode": _q_multimodal_decode,
         "embedding_quantize": _q_embedding_quantize,
@@ -2790,6 +2844,13 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN range(8) j CROSS JOIN range(10) i CROSS JOIN range(3) c
             WHERE j.range < s.h0 AND i.range < s.w0
             GROUP BY 1, 2, 3
+        """,
+        "multimodal_decode_jpeg": """
+            SELECT CAST(0 AS BIGINT) AS violations,
+                   CAST(SUM((8 + n_chars % 9) * 1000 + (8 + n_chars % 13))
+                        AS BIGINT) AS dims_checksum,
+                   COUNT(*) AS n_docs
+            FROM documents
         """,
         "serve_pipeline": """
             WITH f AS (

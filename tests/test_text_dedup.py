@@ -1604,3 +1604,68 @@ def test_resize_image_mixed_containers(spark):
         yi = (np.arange(3) * h0) // 3
         xi = (np.arange(4) * w0) // 4
         assert np.array_equal(dec(bytes(out[doc])), px[yi][:, xi]), doc
+
+
+def test_jpeg_codec_roundtrip_tolerances():
+    """Baseline JPEG codec (pure numpy/stdlib): constant-color blocks
+    reconstruct exactly (DC-only, quant step divides evenly at the DC
+    magnitude); smooth gradients reconstruct within quantization
+    tolerance; grayscale / 4:2:0 / restart-interval variants decode —
+    and restart-marker streams decode BIT-IDENTICALLY to their
+    no-restart twins."""
+    from torchestra_spark.functions import jpeg as J
+
+    px = np.full((16, 16, 3), 120, dtype=np.uint8)
+    out = J.decode_jpeg_pixels(J.encode_jpeg(px))
+    assert out.shape == (16, 16, 3)
+    assert np.abs(out.astype(int) - 120).max() == 0
+
+    y, x = np.mgrid[0:24, 0:32]
+    grad = np.stack([(y * 4 + x) % 256, (x * 3) % 256, (y * 5) % 256], -1).astype(np.uint8)
+    dec = J.decode_jpeg_pixels(J.encode_jpeg(grad))
+    err = np.abs(dec.astype(int) - grad.astype(int))
+    assert err.mean() < 3 and err.max() < 16
+
+    g = J.decode_jpeg_pixels(J.encode_jpeg(grad, gray=True))
+    assert np.array_equal(g[..., 0], g[..., 1]) and np.array_equal(g[..., 1], g[..., 2])
+
+    sub = J.decode_jpeg_pixels(J.encode_jpeg(grad, subsample=True))
+    assert np.abs(sub.astype(int) - grad.astype(int)).mean() < 5
+
+    for kw in (dict(restart_interval=2), dict(restart_interval=3, subsample=True),
+               dict(restart_interval=1, gray=True)):
+        base = {k: v for k, v in kw.items() if k != "restart_interval"}
+        assert np.array_equal(
+            J.decode_jpeg_pixels(J.encode_jpeg(grad, **kw)),
+            J.decode_jpeg_pixels(J.encode_jpeg(grad, **base)),
+        ), kw
+
+    # odd (non-multiple-of-8/16) dimensions crop back exactly
+    odd = np.random.RandomState(3).randint(0, 256, size=(13, 11, 3), dtype=np.uint8)
+    assert J.decode_jpeg_pixels(J.encode_jpeg(odd)).shape == (13, 11, 3)
+    assert J.decode_jpeg_pixels(J.encode_jpeg(odd, subsample=True)).shape == (13, 11, 3)
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        J.decode_jpeg_pixels(b"BMnope")
+
+
+def test_jpeg_through_spark_real_decoder(spark):
+    """decode_features(decoder='real') sniffs JPEG by FFD8 magic; a
+    constant-color JPEG pools to the exact color in every bucket, and
+    resize_image re-encodes JPEG payloads as JPEG."""
+    from torchestra_spark.functions import jpeg as J
+
+    px = np.full((16, 16, 3), 200, dtype=np.uint8)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "payload": [J.encode_jpeg(px)]})
+    )
+    rows = {
+        r["doc_id"]: r["features"]
+        for r in M.decode_features(df, n_features=4, decoder="real").collect()
+    }
+    assert np.allclose(rows[1], [200.0 / 255.0] * 4, atol=2.0 / 255.0)
+
+    out = {r["doc_id"]: bytes(r["payload"]) for r in M.resize_image(df, width=8, height=8).collect()}
+    assert out[1][:2] == b"\xff\xd8"
+    back = J.decode_jpeg_pixels(out[1])
+    assert back.shape == (8, 8, 3) and np.abs(back.astype(int) - 200).max() <= 4

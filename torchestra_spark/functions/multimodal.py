@@ -62,9 +62,10 @@ def attach_media_metadata(
 # --------------------------------------------------------- real codecs
 # Pure-numpy/stdlib decoders for the container formats that need no
 # external codec library: uncompressed 24-bit BMP, non-interlaced 8-bit
-# PNG (zlib inflate + scanline unfiltering), and 16-bit PCM WAV.  This
-# makes decoder="real" a working path in this environment; jpeg/mp4
-# remain the documented integration stub.
+# PNG (zlib inflate + scanline unfiltering), baseline JPEG (jpeg.py:
+# huffman + IDCT in numpy), and 16-bit PCM WAV.  This makes
+# decoder="real" a working path in this environment; video (mp4)
+# remains the one documented integration stub.
 
 
 def encode_bmp(pixels: np.ndarray) -> bytes:
@@ -323,20 +324,24 @@ def _pool_features(signal: np.ndarray, n: int) -> np.ndarray:
 
 def _real_decode(payload: bytes, n: int) -> np.ndarray:
     """Sniff the container by magic bytes and decode with the pure-numpy
-    codec; unsupported formats raise NotImplementedError (jpeg/video
-    need PIL/ffmpeg — the documented integration point)."""
+    codec; unsupported formats raise NotImplementedError (video needs
+    ffmpeg — the documented integration point)."""
     if payload is None or len(payload) == 0:
         return np.zeros(n, dtype=np.float32)
     if payload[:2] == b"BM":
         return _pool_features(decode_bmp(payload).ravel(), n)
     if payload[:8] == PNG_MAGIC:
         return _pool_features(decode_png(payload).ravel(), n)
+    if payload[:2] == b"\xff\xd8":
+        from torchestra_spark.functions.jpeg import decode_jpeg
+
+        return _pool_features(decode_jpeg(payload).ravel(), n)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _pool_features(decode_wav(payload), n)
     raise NotImplementedError(
         "real decoding supports uncompressed BMP, non-interlaced 8-bit "
-        "PNG, and 16-bit PCM WAV here; jpeg/video require PIL/ffmpeg "
-        "(not available in this environment)"
+        "PNG, baseline JPEG, and 16-bit PCM WAV here; video requires "
+        "ffmpeg (not available in this environment)"
     )
 
 
@@ -460,10 +465,17 @@ def resize_image(
                     dec, enc = decode_bmp_pixels, encode_bmp
                 elif b[:8] == PNG_MAGIC:
                     dec, enc = decode_png_pixels, encode_png
+                elif b[:2] == b"\xff\xd8":
+                    from torchestra_spark.functions.jpeg import (
+                        decode_jpeg_pixels,
+                        encode_jpeg,
+                    )
+
+                    dec, enc = decode_jpeg_pixels, encode_jpeg  # lossy re-encode
                 else:
                     raise NotImplementedError(
-                        "resize_image supports BMP and non-interlaced 8-bit "
-                        "PNG; jpeg requires PIL (not available here)"
+                        "resize_image supports BMP, non-interlaced 8-bit PNG, "
+                        "and baseline JPEG; video frames require ffmpeg"
                     )
                 px = dec(b)
                 h0, w0 = px.shape[:2]

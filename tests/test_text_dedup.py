@@ -1669,3 +1669,47 @@ def test_jpeg_through_spark_real_decoder(spark):
     assert out[1][:2] == b"\xff\xd8"
     back = J.decode_jpeg_pixels(out[1])
     assert back.shape == (8, 8, 3) and np.abs(back.astype(int) - 200).max() <= 4
+
+
+def test_avi_codec_roundtrip_and_sampling():
+    """Uncompressed-AVI container codec: bit-exact frame roundtrip,
+    every-Nth sampling with chunk-skip seek, max_frames cap, and the
+    compressed-stream guard."""
+    from torchestra_spark.functions import video as V
+
+    rng = np.random.RandomState(5)
+    frames = rng.randint(0, 256, size=(7, 6, 5, 3), dtype=np.uint8)
+    avi = V.encode_avi(frames)
+    idx, dec = V.decode_avi_frames(avi)
+    assert idx.tolist() == list(range(7)) and np.array_equal(dec, frames)
+    idx2, dec2 = V.decode_avi_frames(avi, every_n=3)
+    assert idx2.tolist() == [0, 3, 6] and np.array_equal(dec2, frames[::3])
+    idx3, dec3 = V.decode_avi_frames(avi, every_n=2, max_frames=2)
+    assert idx3.tolist() == [0, 2] and np.array_equal(dec3, frames[[0, 2]])
+    with pytest.raises(ValueError, match="not an AVI"):
+        V.decode_avi_frames(b"RIFFxxxxWAVE")
+    # compressed fourcc guard: flip the handler to a codec fourcc
+    bad = bytearray(avi)
+    k = bad.find(b"DIB ")
+    bad[k : k + 4] = b"H264"
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        V.decode_avi_frames(bytes(bad))
+
+
+def test_frame_sample_real_through_spark(spark):
+    """frame_sample demuxes AVI payloads in Spark and pools per-frame
+    luminance: constant-gray frames give exact feature values, frame
+    indices follow the every_n stride, NULL payloads emit no rows."""
+    from torchestra_spark.functions import video as V
+
+    vals = [40, 80, 120, 160, 200]
+    frames = np.stack([np.full((8, 8, 3), v, dtype=np.uint8) for v in vals])
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "payload": [V.encode_avi(frames), None]})
+    )
+    rows = V.frame_sample(df, every_n=2, frame_features=4).collect()
+    assert {r["doc_id"] for r in rows} == {1}
+    got = {r["frame_idx"]: r["features"] for r in rows}
+    assert sorted(got) == [0, 2, 4]
+    for fi in got:
+        assert np.allclose(got[fi], [vals[fi] / 255.0] * 4, atol=1e-5)

@@ -511,8 +511,16 @@ def frame_sample_stub(
     decoder: str = "fake",
 ) -> DataFrame:
     """Video frame-sampling plumbing: (id, frame_idx, features).  The
-    fake decoder fabricates ceil(len(payload)/every_n) frames; the real
-    path would seek the container."""
+    fake decoder fabricates ceil(len(payload)/every_n) frames;
+    ``decoder="real"`` delegates to :func:`torchestra_spark.functions.
+    video.frame_sample` — real demux of uncompressed AVI containers
+    (compressed codecs raise there, at the fourcc check)."""
+    if decoder == "real":
+        from torchestra_spark.functions.video import frame_sample
+
+        return frame_sample(
+            df, payload_col, id_col, every_n=every_n, frame_features=frame_features
+        )
     id_type = df.schema[id_col].dataType.simpleString()
     from torchestra_spark.functions.dedup import _ensure_parallelism
 
@@ -522,8 +530,6 @@ def frame_sample_stub(
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError("real video decoding requires ffmpeg")
             ids, idxs, feats = [], [], []
             for i, p in zip(pdf["__id"], pdf["__p"]):
                 n_frames = max(1, (0 if p is None else len(p)) // every_n)

@@ -1,0 +1,193 @@
+"""Pure numpy/stdlib video container support: uncompressed AVI.
+
+The multimodal layer's last integration stub was video.  Compressed
+codecs (h264/vp9) genuinely require ffmpeg, but the CONTAINER work —
+demuxing frames, seeking, sampling every-Nth — does not: uncompressed
+AVI (RIFF 'AVI ' + 'DIB ' BI_RGB 24-bit frames, the video twin of the
+BMP codec in multimodal.py) is fully parseable with struct+numpy.
+This module provides:
+
+* ``encode_avi``   — (n, h, w, 3) uint8 frames -> AVI bytes (synthesis
+  twin, bottom-up BGR rows with 4-byte padding, proper idx1 index).
+* ``decode_avi_frames`` — AVI bytes -> (frame indices, (k, h, w, 3)
+  frames), sampling every ``every_n``-th frame WITHOUT decoding the
+  skipped ones (chunk-skip seek — the point of container-level
+  sampling at 100 TB: IO proportional to kept frames).
+* ``frame_sample`` — the Spark stage: (id, payload) -> (id, frame_idx,
+  features) with real decode; the deterministic fake path stays in
+  ``multimodal.frame_sample_stub``.
+
+Compressed 'vids' streams raise NotImplementedError at the codec
+fourcc check — the one remaining external-codec integration point.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def encode_avi(frames: np.ndarray, fps: int = 25) -> bytes:
+    """(n, h, w, 3) uint8 RGB frames -> uncompressed AVI bytes."""
+    fr = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w, _ = fr.shape
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    frame_size = (row + pad) * h
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) % 2))
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps,  # microseconds per frame
+        frame_size * fps,  # max bytes per sec
+        0,
+        0x10,  # AVIF_HASINDEX
+        n, 0, 1, frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0, 0, 0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+
+    movi_body = bytearray()
+    index = bytearray()
+    for i in range(n):
+        # bottom-up BGR rows, 4-byte padded (the BMP raster layout)
+        rows = []
+        for y in range(h - 1, -1, -1):
+            rows.append(fr[i, y, :, ::-1].tobytes() + b"\x00" * pad)
+        data = b"".join(rows)
+        offset = len(movi_body) + 4  # from 'movi' fourcc
+        movi_body += chunk(b"00db", data)
+        index += b"00db" + struct.pack("<III", 0x10, offset, len(data))
+    movi = lst(b"movi", bytes(movi_body))
+    idx1 = chunk(b"idx1", bytes(index))
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi_frames(
+    payload: bytes, every_n: int = 1, max_frames: Optional[int] = None
+):
+    """Uncompressed AVI -> (sampled frame indices, (k, h, w, 3) uint8
+    RGB).  Skipped frames are never decoded — the chunk walk just
+    advances by the declared chunk size (container-level seek)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    pos = 12
+    w = h = bpp = None
+    compression = None
+    frames = []
+    idxs = []
+    frame_no = 0
+
+    def parse_strl(body: bytes) -> None:
+        nonlocal w, h, bpp, compression
+        p = 0
+        handler = None
+        while p + 8 <= len(body):
+            tag = body[p : p + 4]
+            size = struct.unpack_from("<I", body, p + 4)[0]
+            sub = body[p + 8 : p + 8 + size]
+            if tag == b"strh":
+                fcc_type, handler = struct.unpack_from("<4s4s", sub, 0)
+                if fcc_type == b"vids" and handler not in (b"DIB ", b"\x00\x00\x00\x00"):
+                    raise NotImplementedError(
+                        f"compressed AVI video stream {handler!r} requires ffmpeg; "
+                        "only uncompressed DIB frames are supported here"
+                    )
+            elif tag == b"strf":
+                _sz, bw, bh, _planes, bits, comp = struct.unpack_from("<IiiHHI", sub, 0)
+                w, h, bpp, compression = bw, abs(bh), bits, comp
+            p += 8 + size + (size % 2)
+
+    def walk(start: int, end: int) -> None:
+        nonlocal frame_no
+        p = start
+        while p + 8 <= end:
+            tag = payload[p : p + 4]
+            size = struct.unpack_from("<I", payload, p + 4)[0]
+            if tag == b"LIST":
+                kind = payload[p + 8 : p + 12]
+                if kind == b"strl":
+                    parse_strl(payload[p + 12 : p + 8 + size])
+                else:
+                    walk(p + 12, p + 8 + size)
+            elif tag[2:] in (b"db", b"dc"):
+                if bpp != 24 or compression != 0:
+                    raise NotImplementedError(
+                        "only uncompressed 24-bit AVI frames supported"
+                    )
+                keep = frame_no % every_n == 0 and (
+                    max_frames is None or len(frames) < max_frames
+                )
+                if keep:
+                    row = w * 3
+                    stride = row + (4 - row % 4) % 4
+                    buf = np.frombuffer(payload, np.uint8, stride * h, p + 8)
+                    px = buf.reshape(h, stride)[:, :row].reshape(h, w, 3)[::-1, :, ::-1]
+                    frames.append(px.copy())
+                    idxs.append(frame_no)
+                frame_no += 1
+            p += 8 + size + (size % 2)
+
+    walk(12, 8 + struct.unpack_from("<I", payload, 4)[0])
+    if w is None:
+        raise ValueError("AVI has no video stream header")
+    if not frames:
+        return np.array([], dtype=np.int64), np.empty((0, h, w, 3), dtype=np.uint8)
+    return np.array(idxs, dtype=np.int64), np.stack(frames)
+
+
+def frame_sample(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    every_n: int = 10,
+    frame_features: int = 16,
+) -> DataFrame:
+    """REAL video frame sampling over binary AVI payloads: demux ->
+    keep every ``every_n``-th frame -> per-frame luminance mean-pooled
+    into ``frame_features`` buckets.  Returns (id, frame_idx,
+    features array<float>).  NULL payloads produce no rows; compressed
+    streams raise at the codec fourcc (same contract as
+    ``decode_features``)."""
+    from torchestra_spark.functions.dedup import _ensure_parallelism
+    from torchestra_spark.functions.multimodal import _pool_features
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    sel = _ensure_parallelism(
+        df.select(F.col(id_col).alias("__id"), F.col(payload_col).alias("__p"))
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, feats = [], [], []
+            for i, p in zip(pdf["__id"], pdf["__p"]):
+                if p is None:
+                    continue
+                fidx, frames = decode_avi_frames(bytes(p), every_n=every_n)
+                lum = frames.astype(np.float32) / 255.0
+                lum = (
+                    lum[..., 0] * 0.299 + lum[..., 1] * 0.587 + lum[..., 2] * 0.114
+                )
+                for k in range(len(fidx)):
+                    ids.append(i)
+                    idxs.append(int(fidx[k]))
+                    feats.append(_pool_features(lum[k].ravel(), frame_features))
+            yield pd.DataFrame({"__id": ids, "frame_idx": idxs, "features": feats})
+
+    out = sel.mapInPandas(run, f"__id {id_type}, frame_idx int, features array<float>")
+    return out.withColumnRenamed("__id", id_col)

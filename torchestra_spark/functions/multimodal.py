@@ -2,12 +2,15 @@
 with typed metadata, plus the Spark-side plumbing for decode /
 feature-extract / resize / frame-sample stages.
 
-The decode kernels themselves are STUBBED (image/audio codecs are not
-available in this environment): ``decoder="fake"`` produces a
-deterministic array derived from the payload bytes (so the distributed
-plumbing — schema, partitioning, Arrow batch shape, UDF signature — is
-real and testable), and ``decoder="real"`` raises NotImplementedError
-at the point where PIL/ffmpeg would be invoked.
+``decoder="real"`` is a WORKING path for every container with a pure
+numpy/stdlib codec in this repo: uncompressed 24-bit BMP,
+non-interlaced 8-bit PNG, baseline JPEG (jpeg.py), 16-bit PCM WAV, and
+uncompressed AVI video (video.py, chunk-skip frame sampling).  Only
+compressed video codecs (h264/vp9) and progressive/arithmetic JPEG
+still raise NotImplementedError at their guard — the documented
+PIL/ffmpeg integration points.  ``decoder="fake"`` remains a
+deterministic stand-in for those (schema, partitioning, Arrow batch
+shape, and UDF signature identical to the real path).
 
 Schema convention:
 

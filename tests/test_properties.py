@@ -172,3 +172,74 @@ def test_winnow_shared_run_guarantee(pre_a, suf_a, pre_b, suf_b, shared, k_w):
     fa = _py_winnow(pre_a + shared + suf_a, k, w)
     fb = _py_winnow(pre_b + shared + suf_b, k, w)
     assert fa & fb
+
+
+# ------------------------------------------------------- codec properties
+@given(
+    h=st.integers(1, 6),
+    w=st.integers(1, 6),
+    c=st.sampled_from([1, 2, 3, 4]),
+    filters=st.lists(st.integers(0, 4), min_size=6, max_size=6),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=80, deadline=None)
+def test_png_unfilter_roundtrip_property(h, w, c, filters, seed):
+    """Any shape × color type × per-row filter combination unfilters
+    back to the exact pixels (drives the Sub/Up/Average/Paeth
+    recurrences through degenerate 1-pixel rows and columns)."""
+    from tests.test_text_dedup import _png_with_filters
+    from torchestra_spark.functions import multimodal as M
+
+    px = np.random.RandomState(seed).randint(0, 256, size=(h, w, c), dtype=np.uint8)
+    got = M.decode_png_pixels(_png_with_filters(px, filters[:h]))
+    exp = {1: np.repeat(px, 3, 2), 2: np.repeat(px[..., :1], 3, 2),
+           4: px[..., :3], 3: px}[c]
+    assert np.array_equal(got, exp)
+
+
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    mode=st.sampled_from(["plain", "gray", "420", "rst"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_jpeg_decode_total_property(h, w, mode, seed):
+    """encode_jpeg -> decode_jpeg_pixels is total over arbitrary shapes
+    and modes: right output shape, and smooth (constant) content stays
+    within the quantization bound."""
+    from torchestra_spark.functions import jpeg as J
+
+    v = seed % 256
+    px = np.full((h, w, 3), v, dtype=np.uint8)
+    kw = dict(plain={}, gray=dict(gray=True), **{"420": dict(subsample=True)},
+              rst=dict(restart_interval=2))[mode]
+    dec = J.decode_jpeg_pixels(J.encode_jpeg(px, **kw))
+    assert dec.shape == (h, w, 3)
+    if mode != "gray":  # gray drops chroma, compare luminance-ish only
+        assert np.abs(dec.astype(int) - int(v)).max() <= 4
+    else:
+        # Rec.601 luminance of a gray-equal RGB is the value itself
+        assert np.abs(dec[..., 0].astype(int) - int(v)).max() <= 4
+
+
+@given(
+    n=st.integers(1, 6),
+    h=st.integers(1, 8),
+    w=st.integers(1, 8),
+    every=st.integers(1, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_avi_roundtrip_property(n, h, w, every, seed):
+    """Uncompressed AVI roundtrips bit-exactly for any frame count /
+    shape (incl. rows needing 4-byte padding), and every_n sampling
+    returns exactly frames[::every_n]."""
+    from torchestra_spark.functions import video as V
+
+    frames = np.random.RandomState(seed).randint(
+        0, 256, size=(n, h, w, 3), dtype=np.uint8
+    )
+    idx, dec = V.decode_avi_frames(V.encode_avi(frames), every_n=every)
+    assert idx.tolist() == list(range(0, n, every))
+    assert np.array_equal(dec, frames[::every])

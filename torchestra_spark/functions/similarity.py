@@ -547,18 +547,19 @@ def _infer_dim(df: DataFrame, vec_col: str) -> int:
     return int(row["d"])
 
 
-def exact_topk_multi(
+def exact_knn_batch(
     df: DataFrame, vec_col: str, id_col: str, Q: np.ndarray, k: int
-) -> dict:
-    """Exact cosine top-k ids for EVERY row of the (q, d) query matrix
-    ``Q`` in ONE distributed corpus pass: the normalized query matrix
-    rides the task closure (q·d doubles), each Arrow batch computes the
-    full (batch, q) similarity block with one matmul over the flat
-    ListArray buffer and keeps its LOCAL top-k per query, and a
-    q-partitioned window takes the global top-k over the surviving
+) -> DataFrame:
+    """Distributed EXACT cosine top-k for EVERY row of the (q, d) query
+    matrix ``Q`` in ONE corpus pass — batch brute-force KNN (ground
+    truth for ANN evals, small-query-set re-ranking): the normalized
+    query matrix rides the task closure (q·d doubles), each Arrow batch
+    computes the full (batch, q) similarity block with one matmul over
+    the flat ListArray buffer and keeps its LOCAL top-k per query, and
+    a q-partitioned window takes the global top-k over the surviving
     (partitions × k × q) candidate rows — exact because the global
     top-k is a subset of the union of local top-ks.  Ties break by id
-    ascending.  Returns {query_index: [ids best-first]}.
+    ascending.  Returns (q int, <id_col>, cos_sim double, rank int).
 
     This is the scale path for exact ground truth: no full-corpus
     collect, one scan for ALL queries, shuffle bounded by q·k·parts."""
@@ -596,15 +597,29 @@ def exact_topk_multi(
 
     scored = sel.mapInArrow(stage, f"q int, `__id` {id_type}, sim double")
     w = Window.partitionBy("q").orderBy(F.col("sim").desc(), F.col("__id").asc())
-    top = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select("q", "__id", "__rn")
-        .collect()
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q",
+            F.col("__id").alias(id_col),
+            F.col("sim").alias("cos_sim"),
+            "rank",
+        )
     )
-    out: dict = {j: [] for j in range(nq)}
-    for r in sorted(top, key=lambda r: (r["q"], r["__rn"])):
-        out[r["q"]].append(r["__id"])
+
+
+def exact_topk_multi(
+    df: DataFrame, vec_col: str, id_col: str, Q: np.ndarray, k: int
+) -> dict:
+    """Driver-side convenience over :func:`exact_knn_batch`: returns
+    {query_index: [ids best-first]} (the recall harness's ground-truth
+    shape).  The heavy lifting — one scan for all queries — is the
+    DataFrame op above."""
+    top = exact_knn_batch(df, vec_col, id_col, Q, k).collect()
+    out: dict = {j: [] for j in range(int(np.asarray(Q).shape[0]))}
+    for r in sorted(top, key=lambda r: (r["q"], r["rank"])):
+        out[r["q"]].append(r[id_col])
     return out
 
 

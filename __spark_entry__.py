@@ -2319,10 +2319,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # query must have a driver row no older than 2 rounds).  r7 window
     # = the 34 queries whose last driver row is r5 (rotated back in
     # first) + stacked_scaler (fixed this round: output scalarized,
-    # one-Pipeline fit — its r6 row was a harness error) + the 2 new r7
-    # queries (serve_pipeline, multimodal_decode_png) + 13 queries
-    # whose code changed in r7 (dedup.py pin/checkpoint_dir plumbing,
-    # similarity.py DDL quoting, pipeline.py Feature validation).
+    # one-Pipeline fit — its r6 row was a harness error) + the 5 new r7
+    # queries (serve_pipeline, multimodal_decode_png,
+    # multimodal_decode_jpeg, frame_sample_avi, exact_knn_batch) + 10
+    # queries whose code changed in r7 (dedup.py pin/checkpoint_dir
+    # plumbing, similarity.py DDL quoting, pipeline.py Feature
+    # validation).  34 + 1 + 5 + 10 = 50.
     # Everything past the window was hash-green in r6 with r7-untouched
     # semantics; rotate back in r8.  Local replica:
     # scripts/check_oracle.py covers ALL rows.

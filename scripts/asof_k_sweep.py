@@ -33,10 +33,11 @@ BENCH_DATA = os.path.join(
 
 
 def _cpu():
-    try:
-        return int(open("/sys/fs/cgroup/cpuacct/cpuacct.usage").read()) / 1e9
-    except OSError:
-        return None
+    # shared v1+v2 cgroup reader (bench.py) — a narrower local copy
+    # would silently return None on cgroup-v2 hosts
+    from bench import _cgroup_cpu_sec
+
+    return _cgroup_cpu_sec()
 
 
 def _noop(df):

@@ -1713,3 +1713,49 @@ def test_frame_sample_real_through_spark(spark):
     assert sorted(got) == [0, 2, 4]
     for fi in got:
         assert np.allclose(got[fi], [vals[fi] / 255.0] * 4, atol=1e-5)
+
+
+def test_winnow_release_with_fp_freq_cap(spark):
+    """Regression (r7 self-review): with max_fp_freq SET (the default),
+    winnow_near_dups rebinds its fps frame through the boilerplate
+    anti-join AFTER pinning — _torchestra_pins must still hold the
+    PINNED frame, not the derived join plan, or release_pinned silently
+    leaks the (id, fp) blocks."""
+    docs = [(i, "the quick brown fox %d jumps over the lazy dog %d" % (i % 5, i % 5))
+            for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    base = _stored_rdd_ids(spark)
+    out = D.winnow_near_dups(df, "text", "doc_id", max_fp_freq=1000)
+    assert out.count() > 0
+    mine = _stored_rdd_ids(spark) - base
+    assert mine
+    D.release_pinned(out)
+    left = mine & _stored_rdd_ids(spark)
+    assert not left, f"winnow_near_dups leaked with max_fp_freq set: {left}"
+
+
+def test_exact_knn_batch_boundary_ties(spark):
+    """Regression (r7 self-review): >k identical vectors tied AT the
+    local top-k boundary inside one Arrow batch — the local selection
+    must keep the id-ascending ones (a bare argpartition keeps an
+    arbitrary subset, which the global window cannot repair)."""
+    base = np.ones(8)
+    X = np.vstack([np.tile(base, (15, 1)),               # ids 0..14: all tied sim=1
+                   np.random.RandomState(1).randn(20, 8)])
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(35), "embedding": [r.tolist() for r in X]})
+    ).coalesce(1)  # one batch -> the eviction happens locally
+    out = S.exact_knn_batch(df, "embedding", "vec_id", base[None, :], k=10)
+    got = [r["vec_id"] for r in out.orderBy("rank").collect()]
+    assert got == list(range(10)), got
+
+
+def test_avi_top_down_rows(spark):
+    """Regression (r7 self-review): negative biHeight = top-down DIB
+    rows; the decoder must NOT flip them."""
+    from torchestra_spark.functions import video as V
+
+    frames = np.random.RandomState(7).randint(0, 256, size=(3, 5, 4, 3), dtype=np.uint8)
+    for td in (False, True):
+        idx, dec = V.decode_avi_frames(V.encode_avi(frames, top_down=td))
+        assert np.array_equal(dec, frames), f"top_down={td}"

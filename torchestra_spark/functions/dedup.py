@@ -709,7 +709,12 @@ def winnow_near_dups(
     # routes the pin to reliable storage (see _pin); the returned plan
     # reads this table, so it rides _torchestra_pins and
     # release_pinned(result) frees it.
-    fps = _pin(fps, checkpoint_dir)
+    # fps_pinned is THE checkpointed frame — _torchestra_pins must hold
+    # it, not any frame later derived from it (the max_fp_freq anti-join
+    # below rebinds fps; pinning the derived join plan would make
+    # release_pinned a silent no-op and leak the (id, fp) blocks)
+    fps_pinned = _pin(fps, checkpoint_dir)
+    fps = fps_pinned
     # per-doc set sizes BEFORE the frequency cap: the overlap denominator
     # reflects the true fingerprint sets, the cap only prunes pair-gen
     sizes = fps.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
@@ -741,7 +746,7 @@ def winnow_near_dups(
             ).alias("overlap"),
         )
     )
-    out._torchestra_pins = [fps]  # freed by release_pinned(out)
+    out._torchestra_pins = [fps_pinned]  # freed by release_pinned(out)
     return out
 
 

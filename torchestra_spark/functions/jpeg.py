@@ -271,7 +271,7 @@ def encode_jpeg(
             comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
         else:
             planes = [
-                (1, pad_to(ycc[..., 0], 8), QUANT_LUMA, 0, (2, 2) if False else (1, 1)),
+                (1, pad_to(ycc[..., 0], 8), QUANT_LUMA, 0, (1, 1)),
                 (2, pad_to(ycc[..., 1], 8), QUANT_CHROMA, 1, (1, 1)),
                 (3, pad_to(ycc[..., 2], 8), QUANT_CHROMA, 1, (1, 1)),
             ]

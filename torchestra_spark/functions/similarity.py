@@ -585,7 +585,19 @@ def exact_knn_batch(
             Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
             S = Xn @ Qn  # (n, nq)
             kk = min(k, n)
-            part = np.argpartition(-S, kk - 1, axis=0)[:kk]  # (kk, nq) row idx
+            # Local top-k must respect the GLOBAL tie-break (sim desc,
+            # id asc): a bare argpartition keeps an arbitrary subset of
+            # rows tied at the k-th similarity, which the global window
+            # cannot repair (the evicted id may be the smaller one).
+            # id_rank = ascending rank of the id within the batch, so
+            # lexsort((id_rank, -S[:, j])) is exactly the global order.
+            id_rank = np.empty(n, dtype=np.int64)
+            id_rank[
+                np.argsort(b.column(0).to_numpy(zero_copy_only=False), kind="stable")
+            ] = np.arange(n)
+            part = np.stack(
+                [np.lexsort((id_rank, -S[:, j]))[:kk] for j in range(nq)], axis=1
+            )  # (kk, nq) row idx, tie-exact
             rows = part.ravel()  # C order: (i, j) -> i*nq + j
             qcol = np.tile(np.arange(nq, dtype=np.int32), kk)
             ids = b.column(0).take(pa.array(rows, type=pa.int64()))

@@ -32,8 +32,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def encode_avi(frames: np.ndarray, fps: int = 25) -> bytes:
-    """(n, h, w, 3) uint8 RGB frames -> uncompressed AVI bytes."""
+def encode_avi(frames: np.ndarray, fps: int = 25, top_down: bool = False) -> bytes:
+    """(n, h, w, 3) uint8 RGB frames -> uncompressed AVI bytes.
+    ``top_down=True`` writes negative-biHeight top-down DIB rows (a
+    layout common tools emit) — decoder-path test vector."""
     fr = np.ascontiguousarray(frames, dtype=np.uint8)
     n, h, w, _ = fr.shape
     row = w * 3
@@ -58,15 +60,20 @@ def encode_avi(frames: np.ndarray, fps: int = 25) -> bytes:
         "<4s4sIHHIIIIIIIIhhhh",
         b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0, 0, 0, 0, w, h,
     )
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0)
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, -h if top_down else h, 1, 24, 0, frame_size, 2835, 2835, 0, 0,
+    )
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
 
     movi_body = bytearray()
     index = bytearray()
     for i in range(n):
-        # bottom-up BGR rows, 4-byte padded (the BMP raster layout)
+        # BGR rows, 4-byte padded (the BMP raster layout); bottom-up by
+        # default, natural order when top_down
+        order = range(h) if top_down else range(h - 1, -1, -1)
         rows = []
-        for y in range(h - 1, -1, -1):
+        for y in order:
             rows.append(fr[i, y, :, ::-1].tobytes() + b"\x00" * pad)
         data = b"".join(rows)
         offset = len(movi_body) + 4  # from 'movi' fourcc
@@ -89,12 +96,13 @@ def decode_avi_frames(
     pos = 12
     w = h = bpp = None
     compression = None
+    bottom_up = True  # positive biHeight = bottom-up DIB rows
     frames = []
     idxs = []
     frame_no = 0
 
     def parse_strl(body: bytes) -> None:
-        nonlocal w, h, bpp, compression
+        nonlocal w, h, bpp, compression, bottom_up
         p = 0
         handler = None
         while p + 8 <= len(body):
@@ -111,6 +119,7 @@ def decode_avi_frames(
             elif tag == b"strf":
                 _sz, bw, bh, _planes, bits, comp = struct.unpack_from("<IiiHHI", sub, 0)
                 w, h, bpp, compression = bw, abs(bh), bits, comp
+                bottom_up = bh > 0  # negative biHeight = top-down rows
             p += 8 + size + (size % 2)
 
     def walk(start: int, end: int) -> None:
@@ -137,8 +146,10 @@ def decode_avi_frames(
                     row = w * 3
                     stride = row + (4 - row % 4) % 4
                     buf = np.frombuffer(payload, np.uint8, stride * h, p + 8)
-                    px = buf.reshape(h, stride)[:, :row].reshape(h, w, 3)[::-1, :, ::-1]
-                    frames.append(px.copy())
+                    px = buf.reshape(h, stride)[:, :row].reshape(h, w, 3)
+                    if bottom_up:
+                        px = px[::-1]
+                    frames.append(px[:, :, ::-1].copy())  # BGR -> RGB
                     idxs.append(frame_no)
                 frame_no += 1
             p += 8 + size + (size % 2)

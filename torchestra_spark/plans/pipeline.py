@@ -48,7 +48,13 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from torchestra_spark.core import FitKind, FittedTransform, Transform, type_kind
+from torchestra_spark.core import (
+    FitKind,
+    FittedTransform,
+    MultiTransform,
+    Transform,
+    type_kind,
+)
 from torchestra_spark.operators.lookups import Eliminator
 from torchestra_spark.state import StateArtifact
 
@@ -75,8 +81,6 @@ class Feature:
             if not self.input_refs:
                 raise ValueError("Feature needs at least one input reference")
         self.ops: List[Transform] = list(ops or [])
-        from torchestra_spark.core import MultiTransform
-
         if len(self.input_refs) > 1:
             if not self.ops or not isinstance(self.ops[0], MultiTransform):
                 raise TypeError(

@@ -340,3 +340,23 @@ def test_serve_pipeline_no_shuffle_on_event_side(spark, events):
     assert "Exchange" not in plan, plan
     # sanity: the composition actually produces the columns
     assert {"value_z", "fval", "f_matched_ts"} <= set(served.columns)
+
+
+def test_exact_knn_batch_one_scan_one_exchange(spark):
+    """exact_knn_batch answers the whole query matrix with ONE corpus
+    scan (a single mapInArrow stage carrying the broadcast query
+    matrix) and ONE exchange (the q-partitioned global top-k window
+    over q*k*partitions candidate rows) — the shape that makes exact
+    batch ground truth affordable at corpus scale."""
+    import re
+
+    import numpy as np
+
+    from torchestra_spark.functions.similarity import exact_knn_batch
+
+    em = spark.read.parquet(f"{SF}/embeddings.parquet")
+    Q = np.stack([np.asarray(r["embedding"]) for r in em.limit(3).collect()])
+    plan = _plan(exact_knn_batch(em, "embedding", "vec_id", Q, 5))
+    assert len(re.findall(r"Exchange", plan)) == 1
+    assert plan.count("MapInArrow") == 1
+    assert "row_number" in plan

@@ -179,6 +179,7 @@ def test_fused_multi_table_single_exchange(spark, events, feats, feats2):
         ],
         on="user_id",
         left_ts="ts",
+        strategy="union",
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan

@@ -79,10 +79,42 @@ def test_asof_union_single_exchange(spark, events):
     feats = feature_events(spark, n_entities=50, partitions=2)
     plan = _plan(
         asof_join(events, feats, on="user_id", left_ts="ts", right_ts="feature_ts",
-                  value_cols=["fval"])
+                  value_cols=["fval"], strategy="union")
     )
     assert plan.count("Exchange hashpartitioning(user_id") <= 2  # one per side of the union
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_asof_auto_small_side_broadcasts_probe_unshuffled(spark, events):
+    """r8: the default (auto) strategy detects a provably-small feature
+    side and takes the broadcast kernel — the probe side is NEVER
+    shuffled (zero Exchange), the match is one Arrow stage.  A side
+    that fails the size gate falls back to the union plan."""
+    from torchestra_spark.io.sources import feature_events
+    from torchestra_spark.operators.temporal import asof_join
+
+    feats = feature_events(spark, n_entities=50, partitions=2)
+    plan = _plan(
+        asof_join(events, feats, on="user_id", left_ts="ts", right_ts="feature_ts",
+                  value_cols=["fval"])
+    )
+    assert "ArrowEvalPython" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_asof_auto_disabled_by_env_falls_back_to_union(spark, events, monkeypatch):
+    from torchestra_spark.io.sources import feature_events
+    from torchestra_spark.operators import temporal
+    from torchestra_spark.operators.temporal import asof_join
+
+    monkeypatch.setattr(temporal, "_AUTO_BROADCAST_MAX_BYTES", 0)
+    feats = feature_events(spark, n_entities=50, partitions=2)
+    plan = _plan(
+        asof_join(events, feats, on="user_id", left_ts="ts", right_ts="feature_ts",
+                  value_cols=["fval"])
+    )
+    assert "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2
 
 
 def test_scaler_transform_stays_in_codegen(spark, events):
@@ -266,7 +298,8 @@ def test_asof_multi_fused_single_window_pass(spark, events):
         )
         for i in range(3)
     ]
-    fused = _plan(asof_join_multi(events, tables, on="user_id", left_ts="ts"))
+    fused = _plan(asof_join_multi(events, tables, on="user_id", left_ts="ts",
+                                  strategy="union"))
     assert fused.count("Window") == 1
     assert len([l for l in fused.splitlines() if "Sort " in l or l.strip().startswith("Sort")]) <= 2
     assert "ArrowEvalPython" not in fused and "BatchEvalPython" not in fused
@@ -275,10 +308,17 @@ def test_asof_multi_fused_single_window_pass(spark, events):
     for sp in tables:
         out = asof_join(
             out, sp["df"], on="user_id", left_ts="ts", right_ts="feature_ts",
-            value_cols=sp["value_cols"], keep_right_ts=False,
+            value_cols=sp["value_cols"], keep_right_ts=False, strategy="union",
         )
     seq = _plan(out)
     assert seq.count("Window") == 3  # the cost the fusion removes
+
+    # r8 default (auto): every table is provably small, so the chained
+    # broadcast kernel runs with ZERO probe-side shuffle and no window
+    auto = _plan(asof_join_multi(events, tables, on="user_id", left_ts="ts"))
+    assert "Exchange hashpartitioning" not in auto
+    assert auto.count("Window") == 0
+    assert "ArrowEvalPython" in auto
 
 
 def test_asof_multi_fused_plan_invariant_in_k(spark, events):
@@ -308,7 +348,8 @@ def test_asof_multi_fused_plan_invariant_in_k(spark, events):
             )
             for i in range(k)
         ]
-        fused = _plan(asof_join_multi(events, tables, on="user_id", left_ts="ts"))
+        fused = _plan(asof_join_multi(events, tables, on="user_id", left_ts="ts",
+                                      strategy="union"))
         assert fused.count("Window") == 1, k
         assert len(
             [l for l in fused.splitlines() if "Sort " in l or l.strip().startswith("Sort")]

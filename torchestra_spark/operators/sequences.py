@@ -259,22 +259,50 @@ def pack_sequences(
     )
     off = F.sum(F.size("__t")).over(w) - F.size("__t")
     d2 = d.withColumn("__off", base_map[F.col("__b")] + off)
-    ex = d2.select("__off", F.posexplode("__t").alias("__i", "__tok")).select(
-        (F.col("__off") + F.col("__i")).alias("__pos"), "__tok"
+    # Per-(doc, block) SLICES instead of per-token rows (r8): a doc at
+    # absolute start s spans blocks s DIV B .. (s+L-1) DIV B, and its
+    # contribution to block b is one contiguous token slice whose
+    # within-block position is max(s - b*B, 0).  The reassembly shuffle
+    # then moves ~1 row per document (short docs) instead of 1 row per
+    # TOKEN — same bytes of token payload, ~B-fold fewer rows of
+    # per-row/struct overhead, and the per-block array_sort drops from
+    # block_len 2-field structs to the handful of doc slices (guide
+    # §2.3: aggregate before you shuffle).  Contents are byte-identical
+    # to the exploded form: slices of one block are disjoint ranges, so
+    # ordering by slice start position == ordering tokens by position.
+    B = int(block_len)
+    s = F.col("__off")
+    L = F.size("__t")
+    segs = F.transform(
+        F.sequence(
+            F.expr(f"__off DIV {B}"),
+            F.expr(f"(__off + size(__t) - 1) DIV {B}"),
+        ),
+        lambda b: F.struct(
+            b.alias("block_id"),
+            F.greatest(s - b * B, F.lit(0)).cast("int").alias("__bpos"),
+            F.slice(
+                F.col("__t"),
+                (F.greatest(b * B - s, F.lit(0)) + 1).cast("int"),
+                (F.least((b + 1) * B, s + L) - F.greatest(b * B, s)).cast("int"),
+            ).alias("__seg"),
+        ),
+    )
+    ex = d2.select(F.explode(F.when(L > 0, segs)).alias("__sg")).select(
+        F.col("__sg.block_id").alias("block_id"),
+        F.col("__sg.__bpos").alias("__bpos"),
+        F.col("__sg.__seg").alias("__seg"),
     )
     blocks = (
-        ex.select(
-            F.expr(f"CAST(__pos DIV {int(block_len)} AS BIGINT)").alias("block_id"),
-            F.expr(f"CAST(__pos % {int(block_len)} AS INT)").alias("__bpos"),
-            "__tok",
-        )
-        .groupBy("block_id")
+        ex.groupBy("block_id")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__bpos", "__tok"))),
-                lambda s: s["__tok"],
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__bpos", "__seg"))),
+                    lambda x: x["__seg"],
+                )
             ).alias("tokens"),
-            F.count(F.lit(1)).cast("int").alias("n_tok"),
+            F.sum(F.size("__seg")).cast("int").alias("n_tok"),
         )
     )
     return blocks

@@ -29,6 +29,7 @@ Scale design notes
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Sequence
 
 import pandas as pd
@@ -51,7 +52,7 @@ def asof_join(
     right_ts: str = "feature_ts",
     value_cols: Optional[Sequence[str]] = None,
     tolerance_sec: Optional[float] = None,
-    strategy: str = "union",
+    strategy: str = "auto",
     salt_buckets: int = 1,
     salt_threshold: Optional[int] = None,
     keep_right_ts: bool = True,
@@ -66,6 +67,25 @@ def asof_join(
     Precondition: probe timestamps must be non-null (a NULL event time
     has no point-in-time meaning); filter them upstream.
 
+    Strategy (all three produce identical results — pytest equivalence
+    + the same SQL oracle check every path):
+
+    * ``"auto"`` (default): pick ``broadcast`` when the FEATURE side is
+      provably small — Catalyst size estimate under
+      ``TORCHESTRA_ASOF_AUTO_BROADCAST_BYTES`` (default 64 MB, 0
+      disables) confirmed by an actual row count under the broadcast
+      guardrail — else fall back to ``union``.  The same reasoning as
+      Spark's own ``autoBroadcastJoinThreshold`` for equi-joins:
+      broadcasting the side that fits removes the ONLY shuffle of the
+      (wide, 10^12-row at scale) probe side.  Explicit ``salt_buckets``
+      is a skew declaration for the shuffle path, so it forces union.
+    * ``"union"``: union-tag + window fill-forward — one entity-hash
+      shuffle of both sides, fully JVM-side.  The scale-out path when
+      the feature side does NOT fit in executor memory.
+    * ``"broadcast"``: force the broadcast kernel (raises above the
+      row guardrail).
+    * ``"merge_asof"``: cogrouped ``pandas.merge_asof`` per entity.
+
     Skew (``salt_buckets > 1``, union strategy): salting is applied only
     to **hot entities** — those with ``>= salt_threshold`` probe rows
     (default ``DEFAULT_SALT_THRESHOLD``).  Cold entities keep the plain
@@ -77,6 +97,14 @@ def asof_join(
         if value_cols is not None
         else [c for c in right.columns if c not in (on, right_ts)]
     )
+    if strategy == "auto":
+        n = _auto_broadcast_rows(right, salt_buckets)
+        if n is not None:
+            return _asof_broadcast(
+                left, right, on, left_ts, right_ts, value_cols, tolerance_sec,
+                keep_right_ts, precounted=n,
+            )
+        strategy = "union"
     if strategy == "union":
         return _asof_union(
             left, right, on, left_ts, right_ts, value_cols, tolerance_sec,
@@ -91,6 +119,37 @@ def asof_join(
             left, right, on, left_ts, right_ts, value_cols, tolerance_sec, keep_right_ts
         )
     raise ValueError(f"unknown strategy {strategy!r}")
+
+
+# Auto-strategy gate: feature sides whose Catalyst size ESTIMATE is
+# under this take the broadcast kernel (after a confirming count).
+# Estimates can be wrong both ways after filters/aggregates: an
+# overestimate only costs the (still-correct) union path, an
+# underestimate is caught by the count confirmation — never an OOM'd
+# broadcast.  0 disables auto-broadcast entirely (always union).
+_AUTO_BROADCAST_MAX_BYTES = int(
+    os.environ.get("TORCHESTRA_ASOF_AUTO_BROADCAST_BYTES", str(64 * 1024 * 1024))
+)
+
+
+def _auto_broadcast_rows(right: DataFrame, salt_buckets: int) -> Optional[int]:
+    """Row count of ``right`` when the auto strategy should broadcast
+    it, else None (union).  Two-step decision: a free Catalyst
+    plan-statistics gate, then one cheap count of the (estimated-small)
+    side to confirm — so a huge feature table never pays a count just
+    to be told to shuffle."""
+    if salt_buckets > 1 or _AUTO_BROADCAST_MAX_BYTES <= 0:
+        return None
+    try:
+        raw = right._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j maps scala.BigInt to a Python int; keep a string fallback
+        est = raw if isinstance(raw, int) else int(str(raw))
+    except Exception:  # pragma: no cover - stats are best-effort
+        return None
+    if est > _AUTO_BROADCAST_MAX_BYTES:
+        return None
+    n = right.count()
+    return n if n <= _BROADCAST_MAX_ROWS else None
 
 
 # Probe rows per entity above which a key counts as hot and gets salted.
@@ -292,6 +351,7 @@ def asof_join_multi(
     left_ts: str = "ts",
     salt_buckets: int = 1,
     salt_threshold: Optional[int] = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Fused backward as-of join of K feature tables onto one probe
     spine in ONE union + ONE entity-partitioned window pass.
@@ -316,7 +376,16 @@ def asof_join_multi(
 
     Skew: one shared hot-key pass over the probe side; hot probe rows
     split into hash(ts) buckets, every table's hot feature rows
-    replicate into all buckets (cold keys pay nothing)."""
+    replicate into all buckets (cold keys pay nothing).
+
+    Strategy: ``"auto"`` (default) chains the zero-shuffle broadcast
+    kernel per table when EVERY feature side is provably small (the
+    ``asof_join`` auto gate) — k broadcast matches pipeline inside one
+    probe-scan stage, the probe spine never shuffles at all.  Otherwise
+    (or with ``strategy="union"`` / explicit ``salt_buckets``) the
+    fused one-union-one-window pass above.  Results are identical
+    either way: each table's fill-forward is independent, so k chained
+    broadcast matches compute exactly the k fused window columns."""
     from pyspark.sql.types import StructField, StructType
 
     specs = [dict(t) for t in tables]
@@ -347,6 +416,13 @@ def asof_join_multi(
             [StructField("__mts", right.schema[rts].dataType)]
             + [StructField(f"__v_{c}", right.schema[c].dataType) for c in sp["value_cols"]]
         )
+
+    if strategy == "auto":
+        counts = [_auto_broadcast_rows(sp["df"], salt_buckets) for sp in specs]
+        if all(n is not None for n in counts):
+            return _asof_broadcast_multi(left, specs, on, left_ts, counts)
+    elif strategy != "union":
+        raise ValueError(f"unknown strategy {strategy!r}")
 
     lhs = left.select(
         *[F.col(c) for c in l_cols],
@@ -477,35 +553,11 @@ def _asof_merge(
 _BROADCAST_MAX_ROWS = 5_000_000
 
 
-def _asof_broadcast(
-    left: DataFrame,
-    right: DataFrame,
-    on: str,
-    left_ts: str,
-    right_ts: str,
-    value_cols: List[str],
-    tolerance_sec: Optional[float],
-    keep_right_ts: bool,
-) -> DataFrame:
-    """Broadcast as-of: when the feature side fits in executor memory
-    (the common feature-store shape — features per entity are small even
-    when the probe table is 10^12 rows), ship flat (entity-code, ts,
-    values) arrays sorted by (code, ts) to every task and match fully
-    vectorized per Arrow batch: entity -> code via one C-level hash-map
-    lookup, block bounds via two ``searchsorted`` calls over the sorted
-    code array, then one ``searchsorted`` per distinct code in the batch
-    (numpy slices only — no pandas groupby, no per-row Python).  ZERO
-    shuffle of the (wide) probe side — the same reasoning as
-    broadcasting the small side of an equi-join.
-    """
+def _bcast_build(right: DataFrame, on: str, right_ts: str, value_cols: List[str]) -> dict:
+    """Flat broadcastable (entity-code, ts, values) arrays sorted by
+    (code, ts): each entity's history is one contiguous block."""
     import numpy as np
 
-    spark = left.sparkSession
-    n = right.count()
-    if n > _BROADCAST_MAX_ROWS:
-        raise ValueError(
-            f"feature side has {n} rows; too large to broadcast — use strategy='union'"
-        )
     pdf = (
         right.select(
             F.col(on).alias("__e"),
@@ -519,13 +571,182 @@ def _asof_broadcast(
     # dense entity codes in sorted order -> the code column is itself
     # sorted, so each entity's history is one contiguous block
     codes_sorted, uniq = pd.factorize(pdf["__e"], sort=False)
+    codes = codes_sorted.astype(np.int64)
+    t = pdf["__t"].to_numpy(np.int64)
     ent_index = pd.Series(np.arange(len(uniq), dtype=np.int64), index=uniq)
-    table = {
-        "codes": codes_sorted.astype(np.int64),
-        "t": pdf["__t"].to_numpy(np.int64),
+    # rank-composed key (r8): key_i = code_i * (N+1) + global_rank(t_i)
+    # is strictly increasing (codes ascend; within a code, t ascends and
+    # the stable global rank preserves tie order), so ONE searchsorted
+    # against it answers "latest row of THIS code with t <= probe_t" for
+    # a whole batch — replacing the per-distinct-code Python loop that
+    # dominated the match kernel.  Fits int64: codes and N are each
+    # bounded by _BROADCAST_MAX_ROWS (5M < 2^23), product < 2^46.
+    n = len(t)
+    order = np.argsort(t, kind="stable")
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n, dtype=np.int64)
+    return {
+        "codes": codes,
+        "t": t,
+        "t_sorted": t[order],
+        "keys": codes * np.int64(n + 1) + rank,
         "vals": {c: pdf[c].to_numpy() for c in value_cols},
         "index": ent_index,
     }
+
+
+def _bcast_match_idx(tb: dict, entity: pd.Series, ts_us: pd.Series, tol_us):
+    """Vectorized backward-as-of match of a probe batch against a
+    broadcast table: entity -> code via one C-level hash-map lookup,
+    probe t -> global t rank via one ``searchsorted``, then ONE
+    ``searchsorted`` of the composed (code, rank) keys against the
+    table's precomputed strictly-increasing key array (``_bcast_build``)
+    — no per-code loop, no pandas groupby, no per-row Python (the
+    previous per-distinct-code loop was ~20k Python iterations per
+    batch on a 20k-entity table and dominated the kernel).  Returns
+    int64 row indices into the broadcast arrays, -1 where unmatched."""
+    import numpy as np
+
+    b_codes, b_t = tb["codes"], tb["t"]
+    n_rows = len(entity)
+    if len(b_t) == 0:
+        # empty feature table: every probe row is unmatched — a gather
+        # would index position 0 of zero-length arrays
+        return np.full(n_rows, -1, dtype=np.int64)
+    codes = tb["index"].reindex(entity.to_numpy()).to_numpy(np.float64)
+    # unknown entity -> code -1: its composed key is < every table key
+    # (ub <= N so -1*(N+1) + ub - 1 < 0), landing at p = -1 -> unmatched
+    kc = np.where(np.isnan(codes), -1, codes).astype(np.int64)
+    kt = ts_us.to_numpy(np.int64)
+    n = np.int64(len(b_t) + 1)
+    ub = np.searchsorted(tb["t_sorted"], kt, side="right")
+    p = np.searchsorted(tb["keys"], kc * n + ub - 1, side="right") - 1
+    gather = np.maximum(p, 0)
+    valid = (p >= 0) & (b_codes[gather] == kc)
+    if tol_us is not None:
+        valid &= kt - b_t[gather] <= tol_us
+    return np.where(valid, p, -1)
+
+
+def _bcast_match_cols(
+    tb: dict, entity: pd.Series, ts_us: pd.Series, tol_us, value_cols: List[str],
+    matched_field: str,
+) -> dict:
+    """Column dict (values + matched-us) for one broadcast table."""
+    import numpy as np
+
+    out_idx = _bcast_match_idx(tb, entity, ts_us, tol_us)
+    hit = out_idx >= 0
+    gather = np.maximum(out_idx, 0)
+    b_t, b_vals = tb["t"], tb["vals"]
+    n_rows = len(entity)
+    data = {}
+    for c in value_cols:
+        if len(b_t) == 0:
+            col = pd.Series([None] * n_rows, dtype=object)
+        else:
+            # object dtype so unmatched rows (and NaN feature values)
+            # cross Arrow as SQL NULL, not float NaN
+            col = pd.Series(b_vals[c][gather].astype(object))
+            col[~hit] = None
+        data[c] = col
+    out_ts = (
+        np.full(n_rows, -1, dtype=np.int64)
+        if len(b_t) == 0
+        else np.where(hit, b_t[gather], -1)
+    )
+    data[matched_field] = pd.Series(out_ts)
+    return data
+
+
+def _asof_broadcast_multi(
+    left: DataFrame, specs: Sequence[dict], on: str, left_ts: str, counts: Sequence[int]
+) -> DataFrame:
+    """Fused k-table broadcast as-of: ONE Arrow crossing matches every
+    table (vs k chained pandas-UDF stages — k-fold fewer JVM<->Python
+    transfers of the probe's (entity, ts) columns; guide §4.1).  The
+    probe side is never shuffled.  Output columns/types are identical
+    to the union-fused pass: l_cols, then per table value_cols +
+    ``{name}_matched_ts``."""
+    spark = left.sparkSession
+    tables = []
+    for sp, n in zip(specs, counts):
+        if n > _BROADCAST_MAX_ROWS:  # caller gates; keep the guardrail
+            raise ValueError(
+                f"feature side {sp['name']!r} has {n} rows; too large to broadcast"
+            )
+        tables.append(_bcast_build(sp["df"], on, sp["ts"], sp["value_cols"]))
+    bc = spark.sparkContext.broadcast(tables)
+    tols = [
+        None if sp.get("tolerance_sec") is None else int(sp["tolerance_sec"] * 1_000_000)
+        for sp in specs
+    ]
+    all_vcols = [list(sp["value_cols"]) for sp in specs]
+    fields = ", ".join(
+        f"`{c}` {sp['df'].schema[c].dataType.simpleString()}"
+        for sp in specs
+        for c in sp["value_cols"]
+    )
+    fields += ", " + ", ".join(f"`__matched_us_{k}` bigint" for k in range(len(specs)))
+
+    @F.pandas_udf(fields)
+    def _match_all(entity: pd.Series, ts_us: pd.Series) -> pd.DataFrame:
+        data = {}
+        for k, tb in enumerate(bc.value):
+            data.update(
+                _bcast_match_cols(
+                    tb, entity, ts_us, tols[k], all_vcols[k], f"__matched_us_{k}"
+                )
+            )
+        return pd.DataFrame(data)
+
+    l_cols = left.columns
+    out = left.withColumn(
+        "__m", _match_all(F.col(on), F.unix_micros(F.col(left_ts).cast("timestamp")))
+    )
+    sel: List[Column] = [F.col(c) for c in l_cols]
+    for k, sp in enumerate(specs):
+        sel += [F.col(f"__m.{c}").alias(c) for c in sp["value_cols"]]
+        sel.append(
+            F.when(
+                F.col(f"__m.__matched_us_{k}") >= 0,
+                F.timestamp_micros(F.col(f"__m.__matched_us_{k}")).cast(
+                    sp["df"].schema[sp["ts"]].dataType
+                ),
+            ).alias(sp["matched"])
+        )
+    return out.select(*sel)
+
+
+def _asof_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: List[str],
+    tolerance_sec: Optional[float],
+    keep_right_ts: bool,
+    precounted: Optional[int] = None,
+) -> DataFrame:
+    """Broadcast as-of: when the feature side fits in executor memory
+    (the common feature-store shape — features per entity are small even
+    when the probe table is 10^12 rows), ship flat (entity-code, ts,
+    values) arrays sorted by (code, ts) to every task and match fully
+    vectorized per Arrow batch: entity -> code via one C-level hash-map
+    lookup, block bounds via two ``searchsorted`` calls over the sorted
+    code array, then one ``searchsorted`` per distinct code in the batch
+    (numpy slices only — no pandas groupby, no per-row Python).  ZERO
+    shuffle of the (wide) probe side — the same reasoning as
+    broadcasting the small side of an equi-join.
+    """
+    spark = left.sparkSession
+    n = precounted if precounted is not None else right.count()
+    if n > _BROADCAST_MAX_ROWS:
+        raise ValueError(
+            f"feature side has {n} rows; too large to broadcast — use strategy='union'"
+        )
+    table = _bcast_build(right, on, right_ts, value_cols)
     bc = spark.sparkContext.broadcast(table)
     tol_us = None if tolerance_sec is None else int(tolerance_sec * 1_000_000)
 
@@ -536,53 +757,9 @@ def _asof_broadcast(
 
     @F.pandas_udf(fields)
     def _match(entity: pd.Series, ts_us: pd.Series) -> pd.DataFrame:
-        import numpy as np
-
-        tb = bc.value
-        b_codes, b_t, b_vals = tb["codes"], tb["t"], tb["vals"]
-        n_rows = len(entity)
-        if len(b_t) == 0:
-            # empty feature table: every probe row is unmatched — the
-            # gather below would index position 0 of zero-length arrays
-            data = {c: pd.Series([None] * n_rows, dtype=object) for c in value_cols}
-            data["__matched_us"] = pd.Series(np.full(n_rows, -1, dtype=np.int64))
-            return pd.DataFrame(data)
-        out_idx = np.full(n_rows, -1, dtype=np.int64)  # row in broadcast arrays
-        # entity -> code: one vectorized hash-map lookup (C-level)
-        codes = tb["index"].reindex(entity.to_numpy()).to_numpy(np.float64)
-        known = ~np.isnan(codes)
-        if known.any():
-            kc = codes[known].astype(np.int64)
-            kt = ts_us.to_numpy(np.int64)[known]
-            lo = np.searchsorted(b_codes, kc, side="left")
-            hi = np.searchsorted(b_codes, kc, side="right")
-            pos = np.full(len(kc), -1, dtype=np.int64)
-            # one vectorized searchsorted per DISTINCT code in the batch
-            order = np.argsort(kc, kind="stable")
-            kc_s = kc[order]
-            starts = np.flatnonzero(np.r_[True, kc_s[1:] != kc_s[:-1]])
-            bounds = np.r_[starts, len(kc_s)]
-            for si, ei in zip(bounds[:-1], bounds[1:]):
-                rows = order[si:ei]
-                blo, bhi = lo[rows[0]], hi[rows[0]]
-                p = blo + np.searchsorted(b_t[blo:bhi], kt[rows], side="right") - 1
-                pos[rows] = np.where(p >= blo, p, -1)
-            if tol_us is not None:
-                ok = pos >= 0
-                ok &= np.where(ok, kt - b_t[np.maximum(pos, 0)] <= tol_us, False)
-                pos = np.where(ok, pos, -1)
-            out_idx[np.flatnonzero(known)] = pos
-        hit = out_idx >= 0
-        out_ts = np.where(hit, b_t[np.maximum(out_idx, 0)], -1)
-        data = {}
-        for c in value_cols:
-            # object dtype so unmatched rows (and NaN feature values)
-            # cross Arrow as SQL NULL, not float NaN
-            col = pd.Series(b_vals[c][np.maximum(out_idx, 0)].astype(object))
-            col[~hit] = None
-            data[c] = col
-        data["__matched_us"] = pd.Series(out_ts)
-        return pd.DataFrame(data)
+        return pd.DataFrame(
+            _bcast_match_cols(bc.value, entity, ts_us, tol_us, value_cols, "__matched_us")
+        )
 
     l_cols = left.columns
     out = left.withColumn(

@@ -21,6 +21,17 @@ def get_spark(
 ) -> SparkSession:
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
     shuffle_partitions = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    # Shuffle/spill scratch dir (guide §2.1: local disk can be the
+    # tighter limit for shuffle files).  On this sandbox the root fs
+    # pays ~0.8 s of file create/sync latency PER tiny shuffle
+    # (measured: 250k-row groupBy 1.27 s on ext4 vs 0.47 s on tmpfs),
+    # so default to RAM-backed /dev/shm when present.  On a real
+    # cluster set SPARK_GRAFT_LOCAL_DIR (or spark.local.dir via
+    # extra_conf) to the NVMe scratch array instead — tmpfs shuffle
+    # space competes with executor memory and is a local-mode choice.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        local_dir = "/dev/shm"
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -35,6 +46,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -27,8 +27,14 @@ _current = {"name": None}
 
 
 def _capture_noop(df):
+    import contextlib
+    import io
+
     name = _current["name"]
-    plan = df._jdf.queryExecution().explainString("formatted")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
     path = os.path.join(OUT_DIR, f"{name}_{TAG}.txt")
     # a query may sink several frames; append all to one file
     mode = "a" if _current.get("seen") == name else "w"

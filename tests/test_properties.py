@@ -223,6 +223,39 @@ def test_jpeg_decode_total_property(h, w, mode, seed):
         assert np.abs(dec[..., 0].astype(int) - int(v)).max() <= 4
 
 
+def test_jpeg_no_trailing_restart_marker():
+    """ADVICE r7: when the MCU count is an exact multiple of
+    restart_interval, the encoder must NOT emit an RSTn after the final
+    MCU (a nonconformant stream for strict external decoders).  16x16
+    gray = 4 MCUs at interval 2; 16x8 = 2 MCUs at interval 2."""
+    from torchestra_spark.functions import jpeg as J
+
+    for h, w in ((16, 16), (8, 16), (16, 8)):
+        px = np.full((h, w, 3), 128, dtype=np.uint8)
+        data = J.encode_jpeg(px, gray=True, restart_interval=2)
+        assert data.endswith(b"\xff\xd9")
+        body = data[:-2]
+        # the entropy stream may end with pad bits, never a full RSTn
+        assert not (len(body) >= 2 and body[-2] == 0xFF and 0xD0 <= body[-1] <= 0xD7), (
+            h, w, body[-4:].hex(),
+        )
+        # and it still decodes to the same content
+        dec = J.decode_jpeg_pixels(data)
+        assert np.abs(dec[..., 0].astype(int) - 128).max() <= 4
+
+
+def test_jpeg_truncated_bitstream_raises_value_error():
+    """ADVICE r7: aligning to a marker on data that contains none must
+    raise a descriptive ValueError, not a bare IndexError."""
+    import pytest
+
+    from torchestra_spark.functions import jpeg as J
+
+    br = J._BitReader(b"\x12\x34\x56", 0)
+    with pytest.raises(ValueError, match="truncated"):
+        br.align_to_marker()
+
+
 @given(
     n=st.integers(1, 6),
     h=st.integers(1, 8),

@@ -216,6 +216,29 @@ def test_pack_sequences_auto_bucket_parallel_and_invariant(spark):
     assert n_buckets_s > 4
 
 
+def test_pack_sequences_doc_spanning_many_blocks(spark):
+    """r8 (slice-based reassembly): a document longer than several
+    blocks must be cut into per-block slices that reassemble exactly —
+    the case where one doc contributes to 4+ blocks and interior blocks
+    are single-slice."""
+    from torchestra_spark.operators.sequences import pack_sequences
+
+    rows = [
+        (1, [1, 2]),
+        (2, list(range(10, 25))),  # 15 tokens: spans blocks 0..4 at B=4
+        (3, [99]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    out = {r.block_id: (list(r.tokens), r.n_tok)
+           for r in pack_sequences(df, "tokens", "doc_id", block_len=4).collect()}
+    stream = [1, 2] + list(range(10, 25)) + [99]
+    expect = {
+        i: (stream[i * 4:(i + 1) * 4], len(stream[i * 4:(i + 1) * 4]))
+        for i in range((len(stream) + 3) // 4)
+    }
+    assert out == expect
+
+
 def test_pack_sequences_empty_input(spark):
     from torchestra_spark.operators.sequences import pack_sequences
 

@@ -113,7 +113,13 @@ def release_pinned(df: DataFrame) -> None:
     the lazy pair plans from ``simhash_hamming_pairs`` /
     ``winnow_near_dups``, which reference a pinned sketch table) carry
     those intermediates in a ``_torchestra_pins`` attribute; they are
-    released first, so one call frees everything the frame owns."""
+    released first, so one call frees everything the frame owns.
+
+    CALL THIS ON THE EXACT RETURNED OBJECT: ``_torchestra_pins`` rides
+    the Python DataFrame instance only, so any transformation
+    (``select``/``filter``/``join``) yields a NEW frame without the
+    attribute — releasing the derived frame silently leaks the internal
+    checkpoint blocks (ADVICE r7).  Release the original, then derive."""
     for inner in getattr(df, "_torchestra_pins", ()):  # internal pins first
         release_pinned(inner)
     try:

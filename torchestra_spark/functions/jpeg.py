@@ -300,9 +300,19 @@ def encode_jpeg(
     mcu_count = 0
     rst = 0
 
+    if gray or not subsample:
+        total_mcus = zz_per_comp[0].shape[0]
+    else:
+        _H2, _W2 = planes[0][1].shape
+        total_mcus = (_H2 // 16) * (_W2 // 16)
+
     def maybe_restart():
         nonlocal mcu_count, rst, preds
         mcu_count += 1
+        # no RSTn after the FINAL MCU: a trailing restart marker is a
+        # nonconformant stream for strict external decoders (ADVICE r7)
+        if mcu_count >= total_mcus:
+            return
         if restart_interval and mcu_count % restart_interval == 0:
             out.extend(writer.flush())
             writer.buf = bytearray()
@@ -393,6 +403,8 @@ class _BitReader:
                 d[self.pos] == 0xFF and d[self.pos + 1] != 0x00
             ):
                 self.pos += 1
+            if self.pos + 1 >= len(d):
+                raise ValueError("JPEG bitstream truncated: no marker before end of data")
             m = d[self.pos + 1]
         self.pos = min(self.pos + 2, len(self.data)) if self.marker is None else self.pos + 2
         self.marker = None

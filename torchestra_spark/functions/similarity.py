@@ -580,6 +580,20 @@ def exact_knn_batch(
             n = len(arr)
             if not n:
                 continue
+            # a NULL or wrong-length embedding would silently misalign
+            # every subsequent vector after the flatten (ADVICE r7) —
+            # fail loudly with the offending row count instead
+            if arr.null_count:
+                raise ValueError(
+                    f"exact_knn_batch: {arr.null_count} NULL embedding(s) in batch; "
+                    "filter NULL vectors upstream"
+                )
+            lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+            bad = int((lens != dim).sum())
+            if bad:
+                raise ValueError(
+                    f"exact_knn_batch: {bad} embedding(s) with length != dim={dim}"
+                )
             flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False).astype(np.float64)
             X = flat.reshape(n, dim)
             Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)

@@ -96,6 +96,37 @@ def _pin(df: DataFrame, checkpoint_dir: Optional[str] = None) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _compact_view(pinned: DataFrame, target_bytes: int = 64 << 20) -> DataFrame:
+    """Shuffle-free right-sizing of a pinned frame for its downstream
+    consumers: read the checkpoint's ACTUAL stored size from the block
+    manager and ``coalesce`` to ~``target_bytes`` partitions (guide
+    §2.2: fewer, larger map tasks).  A small sketch over a
+    many-partition scan otherwise fans every downstream stage into
+    hundreds of near-empty tasks whose scheduling overhead dwarfs the
+    work; at real scale blocks are already target-sized and this is a
+    no-op.  ``coalesce`` is a narrow dependency — no data moves.  The
+    returned frame is a VIEW: callers must keep releasing the pinned
+    original (``_torchestra_pins`` should hold ``pinned``, not the
+    view)."""
+    try:
+        jrdd = pinned._jdf.queryExecution().analyzed().rdd()
+        rid = jrdd.id()
+        nparts = jrdd.getNumPartitions()
+        size = None
+        for info in pinned.sparkSession.sparkContext._jsc.sc().getRDDStorageInfo():
+            if info.id() == rid:
+                size = info.memSize() + info.diskSize()
+                break
+        if size is None:
+            return pinned
+        tgt = max(1, min(int(nparts), -(-int(size) // int(target_bytes))))
+        if tgt >= nparts:
+            return pinned
+        return pinned.coalesce(tgt)
+    except Exception:  # pragma: no cover - sizing is best-effort
+        return pinned
+
+
 def release_pinned(df: DataFrame) -> None:
     """Free the storage blocks behind a frame returned by a
     ``localCheckpoint``/``checkpoint`` (or any function documented to
@@ -355,18 +386,24 @@ def minhash_dedup(
     Arrow sketch per reference would quadruple the cost.  With
     ``checkpoint_dir`` the pair set is pinned to reliable storage
     (executor-loss-safe) instead of executor-local blocks."""
-    sigs = minhash_signatures(df, text_col, id_col, k=k, shingle_n=shingle_n, seed=seed)
-    sigs.persist()
+    # Pin (not lazily persist) the signature table: the LSH stage
+    # references it four times (band self-join l/r + signature re-attach
+    # a/b), and the compacted view right-sizes those consumers' map
+    # tasks from the checkpoint's real size (r8, _compact_view).
+    sigs_pin = _pin(
+        minhash_signatures(df, text_col, id_col, k=k, shingle_n=shingle_n, seed=seed),
+        checkpoint_dir,
+    )
     try:
+        sigs = _compact_view(sigs_pin)
         pairs = lsh_candidate_pairs(sigs, id_col, bands=bands, max_bucket_size=max_bucket_size)
-        # Materialize the (small) pair set eagerly while sigs is cached,
-        # cutting the lineage back to the signature table — so the cache
-        # can be released deterministically instead of pinning executor
-        # storage for the session (the checkpointed pair RDD is freed by
-        # the ContextCleaner when the result DataFrame is dropped).
+        # Materialize the (small) pair set eagerly while sigs is live,
+        # cutting the lineage back to the signature table — so its
+        # blocks can be released deterministically instead of pinning
+        # executor storage for the session.
         out = _pin(pairs.filter(F.col("est_jaccard") >= threshold), checkpoint_dir)
     finally:
-        sigs.unpersist()
+        release_pinned(sigs_pin)
     return out
 
 
@@ -396,20 +433,24 @@ def minhash_dedup_verified(
     (nearly all pairs of a small-vocabulary corpus — quadratic verify
     cost); r=4 keeps the candidate set ~j^4-sparse while the verify
     stage discards the remainder, never surfacing in the output."""
-    sigs = minhash_signatures(df, text_col, id_col, k=k, shingle_n=shingle_n, seed=seed)
-    sigs.persist()
+    sigs_pin = _pin(
+        minhash_signatures(df, text_col, id_col, k=k, shingle_n=shingle_n, seed=seed),
+        checkpoint_dir,
+    )
     try:
-        # Candidate ids are materialized eagerly while sigs is cached —
+        # Candidate ids are materialized eagerly while sigs is live —
         # the exact-Jaccard verify below never touches the signature
-        # table, so its cache is released here, not leaked for the
+        # table, so its blocks are released here, not leaked for the
         # session (see minhash_dedup).
         cands = _pin(
-            lsh_candidate_pairs(sigs, id_col, bands=bands, max_bucket_size=max_bucket_size)
+            lsh_candidate_pairs(
+                _compact_view(sigs_pin), id_col, bands=bands, max_bucket_size=max_bucket_size
+            )
             .select("id_a", "id_b"),
             checkpoint_dir,
         )
     finally:
-        sigs.unpersist()
+        release_pinned(sigs_pin)
     verified = verify_pairs_jaccard(df, cands, text_col, id_col, n=shingle_n)
     return verified.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
@@ -552,7 +593,8 @@ def simhash_hamming_pairs(
     # checkpoint_dir routes the pin to reliable storage (see _pin); the
     # returned plan reads this table, so it rides _torchestra_pins and
     # release_pinned(result) frees it.
-    sh = _pin(sh.select(F.col(id_col), F.col(sim_col)), checkpoint_dir)
+    sh_pin = _pin(sh.select(F.col(id_col), F.col(sim_col)), checkpoint_dir)
+    sh = _compact_view(sh_pin)
     step = 64 // max(1, tables)
 
     def _rot(col: Column, r: int) -> Column:
@@ -603,7 +645,7 @@ def simhash_hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
-    out._torchestra_pins = [sh]  # freed by release_pinned(out)
+    out._torchestra_pins = [sh_pin]  # freed by release_pinned(out)
     return out
 
 
@@ -722,9 +764,10 @@ def winnow_near_dups(
     # fps_pinned is THE checkpointed frame — _torchestra_pins must hold
     # it, not any frame later derived from it (the max_fp_freq anti-join
     # below rebinds fps; pinning the derived join plan would make
-    # release_pinned a silent no-op and leak the (id, fp) blocks)
+    # release_pinned a silent no-op and leak the (id, fp) blocks).
+    # Consumers read a coalesced view of it (shuffle-free right-sizing).
     fps_pinned = _pin(fps, checkpoint_dir)
-    fps = fps_pinned
+    fps = _compact_view(fps_pinned)
     # per-doc set sizes BEFORE the frequency cap: the overlap denominator
     # reflects the true fingerprint sets, the cap only prunes pair-gen
     sizes = fps.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
@@ -926,7 +969,8 @@ def near_dup_report(
     releasing a plain join of pinned frames would be a no-op, because
     a join plan is not a LogicalRDD and checkpoint blocks are invisible
     to the CacheManager (``unpersist`` can't reach them either)."""
-    sk = _pin(near_dup_sketches(df, tokens_col, id_col, k=k, w=w), checkpoint_dir)
+    sk_pin = _pin(near_dup_sketches(df, tokens_col, id_col, k=k, w=w), checkpoint_dir)
+    sk = _compact_view(sk_pin)
     try:
         sim_raw = simhash_hamming_pairs(
             sk.select(id_col, "simhash"),
@@ -953,7 +997,7 @@ def near_dup_report(
     finally:
         # release the corpus-sized sketch blocks NOW — the pair frames
         # above were materialized eagerly and no longer read them
-        release_pinned(sk)
+        release_pinned(sk_pin)
     out = _pin(sim.join(win, ["id_a", "id_b"], "full_outer"), checkpoint_dir)
     # the joined report is materialized; the per-pipeline pair blocks
     # are no longer read by anything — free them so release_pinned(out)
@@ -1003,6 +1047,9 @@ def build_simhash_index(
     ``max_bucket_size`` drops degenerate reference buckets (e.g. all
     empty docs sketch to 0) exactly like the join path, keeping every
     probe O(bucket) with a bounded bucket."""
+    # NOTE (r8): a limit(cap+1).toPandas() single-scan guard was tried
+    # and reverted — CollectLimit evaluates partitions in sequential
+    # scale-up waves, serializing the sketch; two parallel scans win.
     n_ref = ref_df.count()
     if n_ref > 10_000_000:
         raise ValueError(
@@ -1132,6 +1179,45 @@ def mark_near_dups_indexed(
 
 
 # --------------------------------------------------------- decontamination
+def _token_ngram_arrays(df: DataFrame, tokens_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, grams array<bigint>) per document — the numpy twin of
+    ``text.token_ngram_hashes`` run batch-wide in one mapInArrow pass
+    (``_token_ngram_kernel``: the whole gram fold is n-1 vector ops
+    over the batch's concatenated token buffer, vs n interpreted
+    ``element_at`` evaluations PER GRAM for the Catalyst HOF — guide
+    §4.2; interleaved A/B at sf0.1: 2.3 s vs 3.2 s end-to-end).  Gram
+    values are identical (same WINNOW_MOD fold, distinct per doc); only
+    the within-doc order differs (sorted vs first-occurrence), which no
+    consumer observes (set semantics)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    sel = _ensure_parallelism(
+        df.select(F.col(id_col).alias("__id"), F.col(tokens_col).alias("__t"))
+    )
+
+    def run(batches):
+        for b in batches:
+            arr = b.column(b.schema.get_field_index("__t"))
+            lens_arr = pc.list_value_length(arr)
+            if lens_arr.null_count:
+                lens_arr = pc.fill_null(lens_arr, 0)
+            lens = lens_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+            nrows = len(lens)
+            offsets = np.zeros(nrows + 1, dtype=np.int64)
+            gv = np.empty(0, dtype=np.int64)
+            if lens.sum() > 0:
+                flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False)
+                offsets, gv, _ = _token_ngram_kernel(flat.astype(np.int64), lens, n)
+            gram_arr = pa.ListArray.from_arrays(
+                pa.array(offsets.astype(np.int32)), pa.array(gv, type=pa.int64())
+            )
+            yield pa.RecordBatch.from_arrays([b.column(0), gram_arr], ["__id", "__gs"])
+
+    return sel.mapInArrow(run, f"__id {id_type}, __gs array<bigint>")
+
+
 def mark_contaminated(
     df: DataFrame,
     tokens_col: str,
@@ -1164,9 +1250,11 @@ def mark_contaminated(
         )
         .distinct()
     )
-    tg = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(token_ngram_hashes(F.col(tokens_col), n)).alias("__g"),
+    # Train side (the 100 TB side): grams via the vectorized Arrow
+    # kernel, exploded JVM-side — same values as the Catalyst HOF the
+    # (small) eval side keeps (guide §4.2, see _token_ngram_arrays)
+    tg = _token_ngram_arrays(df, tokens_col, id_col, n).select(
+        "__id", F.explode("__gs").alias("__g")
     )
     hits = (
         tg.join(F.broadcast(eg), "__g")
@@ -1240,12 +1328,12 @@ def build_contamination_index(
             f"eval corpus has {n_eval} docs — too large for a driver-side "
             "gram index; use mark_contaminated (broadcast join) instead"
         )
-    rows = (
+    pdf = (
         eval_df.select(F.explode(token_ngram_hashes(F.col(tokens_col), n)).alias("g"))
         .distinct()
-        .collect()
+        .toPandas()  # Arrow transfer — no per-row Row objects (r8)
     )
-    return np.sort(np.array([r["g"] for r in rows], dtype=np.int64))
+    return np.sort(pdf["g"].to_numpy(dtype=np.int64))
 
 
 def mark_contaminated_indexed(

@@ -971,7 +971,8 @@ def near_dup_report(
     to the CacheManager (``unpersist`` can't reach them either)."""
     sk_pin = _pin(near_dup_sketches(df, tokens_col, id_col, k=k, w=w), checkpoint_dir)
     sk = _compact_view(sk_pin)
-    try:
+
+    def _sim_branch():
         sim_raw = simhash_hamming_pairs(
             sk.select(id_col, "simhash"),
             id_col,
@@ -983,6 +984,9 @@ def near_dup_report(
         )
         sim = _pin(sim_raw, checkpoint_dir)
         release_pinned(sim_raw)  # frees the internal (id, sketch) table pin
+        return sim
+
+    def _win_branch():
         win_raw = winnow_near_dups(
             sk,
             "winnow_fps",
@@ -994,6 +998,20 @@ def near_dup_report(
         )
         win = _pin(win_raw, checkpoint_dir)
         release_pinned(win_raw)  # frees the internal (id, fp) table pin
+        return win
+
+    try:
+        # the two pair pipelines are independent consumers of the pinned
+        # sketch — submit them concurrently so the tail of one back-fills
+        # the other's idle executors (guide §2.6); 2 jobs in flight, both
+        # materialize eagerly via _pin, exceptions propagate via result()
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            sim_f = pool.submit(_sim_branch)
+            win_f = pool.submit(_win_branch)
+            sim = sim_f.result()
+            win = win_f.result()
     finally:
         # release the corpus-sized sketch blocks NOW — the pair frames
         # above were materialized eagerly and no longer read them
@@ -1180,15 +1198,15 @@ def mark_near_dups_indexed(
 
 # --------------------------------------------------------- decontamination
 def _token_ngram_arrays(df: DataFrame, tokens_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, grams array<bigint>) per document — the numpy twin of
-    ``text.token_ngram_hashes`` run batch-wide in one mapInArrow pass
-    (``_token_ngram_kernel``: the whole gram fold is n-1 vector ops
+    """(id, grams array<bigint>) per document, DUPLICATES KEPT — the
+    numpy twin of ``text.token_ngram_hashes``'s gram fold run
+    batch-wide in one mapInArrow pass (the whole fold is n-1 vector ops
     over the batch's concatenated token buffer, vs n interpreted
     ``element_at`` evaluations PER GRAM for the Catalyst HOF — guide
     §4.2; interleaved A/B at sf0.1: 2.3 s vs 3.2 s end-to-end).  Gram
-    values are identical (same WINNOW_MOD fold, distinct per doc); only
-    the within-doc order differs (sorted vs first-occurrence), which no
-    consumer observes (set semantics)."""
+    values are identical (same WINNOW_MOD fold); consumers needing set
+    semantics dedup AFTER their selective step (count_distinct in
+    ``mark_contaminated``) so the whole-corpus dedup sort is skipped."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -1209,7 +1227,12 @@ def _token_ngram_arrays(df: DataFrame, tokens_col: str, id_col: str, n: int) -> 
             gv = np.empty(0, dtype=np.int64)
             if lens.sum() > 0:
                 flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False)
-                offsets, gv, _ = _token_ngram_kernel(flat.astype(np.int64), lens, n)
+                # RAW grams (duplicates kept): the consumer counts
+                # count_distinct after the membership join, so the
+                # whole-batch dedup lexsort is skipped here (r8) — only
+                # grams that actually match are ever deduped, JVM-side
+                gv, gs = _token_ngram_raw(flat.astype(np.int64), lens, n)
+                np.cumsum(np.bincount(gs, minlength=nrows), out=offsets[1:])
             gram_arr = pa.ListArray.from_arrays(
                 pa.array(offsets.astype(np.int32)), pa.array(gv, type=pa.int64())
             )
@@ -1256,10 +1279,12 @@ def mark_contaminated(
     tg = _token_ngram_arrays(df, tokens_col, id_col, n).select(
         "__id", F.explode("__gs").alias("__g")
     )
+    # grams are raw (duplicates kept); count DISTINCT matched grams so
+    # the semantics stay exactly token_ngram_hashes' distinct-gram hits
     hits = (
         tg.join(F.broadcast(eg), "__g")
         .groupBy("__id")
-        .agg(F.count(F.lit(1)).alias("contam_hits"))
+        .agg(F.count_distinct(F.col("__g")).alias("contam_hits"))
     )
     return (
         df.join(hits.withColumnRenamed("__id", id_col), id_col, "left")
@@ -1286,29 +1311,44 @@ def decontaminate(
     return m.filter(~F.col("is_contaminated")).drop("contam_hits", "is_contaminated")
 
 
-def _token_ngram_kernel(flat: np.ndarray, lens: np.ndarray, k: int):
-    """DISTINCT n-gram hashes per segment from the concatenated token
-    buffer — the gram stage of ``_winnow_token_fps_kernel`` without the
-    window-min selection; numpy twin of ``text.token_ngram_hashes``.
-    Returns (offsets int64[n+1], values int64[total], segids)."""
+def _token_ngram_raw(flat: np.ndarray, lens: np.ndarray, k: int):
+    """ALL n-gram hashes per segment (duplicates kept, document order)
+    from the concatenated token buffer — the winnow gram fold without
+    window-min or dedup.  Returns (values int64[total], segids)."""
     from torchestra_spark.functions.text import WINNOW_MOD, WINNOW_PRIME
 
     n = len(lens)
     T = int(lens.sum())
     if T < k:
-        return np.zeros(n + 1, dtype=np.int64), np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.empty(0, np.int64), np.empty(0, np.int64)
     h = flat.astype(np.int64) % WINNOW_MOD
     g = h[: T - k + 1].copy()
     for j in range(1, k):
         g = (g * WINNOW_PRIME + h[j : T - k + 1 + j]) % WINNOW_MOD
     seg = np.repeat(np.arange(n, dtype=np.int64), lens)
     valid = seg[: T - k + 1] == seg[k - 1 :]
-    gv, gs = g[valid], seg[: T - k + 1][valid]
+    return g[valid], seg[: T - k + 1][valid]
+
+
+def _dedup_seg_values(gv: np.ndarray, gs: np.ndarray):
+    """Distinct (segid, value) pairs via one lexsort; returns the
+    deduped (values, segids) sorted by (seg, value)."""
     order = np.lexsort((gv, gs))
     gv, gs = gv[order], gs[order]
     keep = np.ones(len(gv), dtype=bool)
     keep[1:] = (gv[1:] != gv[:-1]) | (gs[1:] != gs[:-1])
-    gv, gs = gv[keep], gs[keep]
+    return gv[keep], gs[keep]
+
+
+def _token_ngram_kernel(flat: np.ndarray, lens: np.ndarray, k: int):
+    """DISTINCT n-gram hashes per segment from the concatenated token
+    buffer — the gram stage of ``_winnow_token_fps_kernel`` without the
+    window-min selection; numpy twin of ``text.token_ngram_hashes``.
+    Returns (offsets int64[n+1], values int64[total], segids)."""
+    n = len(lens)
+    gv, gs = _token_ngram_raw(flat, lens, k)
+    if len(gv):
+        gv, gs = _dedup_seg_values(gv, gs)
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(np.bincount(gs, minlength=n), out=offsets[1:])
     return offsets, gv, gs
@@ -1373,12 +1413,19 @@ def mark_contaminated_indexed(
             hits = np.zeros(nrows, dtype=np.int64)
             if lens.sum() > 0 and len(idx):
                 flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False)
-                _, gv, gs = _token_ngram_kernel(flat.astype(np.int64), lens, n)
+                # membership-filter FIRST, dedup only the (rare) matches
+                # (r8): distinctness only matters for grams that hit the
+                # index, so the whole-batch lexsort over every gram is
+                # replaced by one over the matched handful
+                gv, gs = _token_ngram_raw(flat.astype(np.int64), lens, n)
                 if len(gv):
                     pos = np.searchsorted(idx, gv)
                     pos[pos == len(idx)] = 0
                     hit = idx[pos] == gv
-                    hits = np.bincount(gs[hit], minlength=nrows)
+                    mgv, mgs = gv[hit], gs[hit]
+                    if len(mgv):
+                        _, mgs = _dedup_seg_values(mgv, mgs)
+                        hits = np.bincount(mgs, minlength=nrows)
             yield pa.RecordBatch.from_arrays(
                 [
                     b.column(0),

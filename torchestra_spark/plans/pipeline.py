@@ -562,6 +562,17 @@ class Pipeline:
 
         sketchers = [op for (_p, op, _c) in ops]
         sel = df.select(*[col.cast("double").alias(f"c{j}") for j, (_p, _o, col) in enumerate(ops)])
+        # A small/single-file table would run the WHOLE sketch on one
+        # task (r8: a single-row-group parquet cannot split, so the fit
+        # was serial).  ``sel`` is just the cast doubles — a 1-to-N
+        # round-robin shuffle of it is ~16 B/row and unlocks a fully
+        # parallel fit; a no-op at scale where scans carry >> cores
+        # partitions.  Digest partials differ by partitioning (as they
+        # already do across input layouts); the merge discipline and the
+        # sketch's checked accuracy tolerance are partition-independent.
+        from torchestra_spark.functions.dedup import _ensure_parallelism
+
+        sel = _ensure_parallelism(sel)
         n_ops = len(ops)
 
         def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -637,19 +648,25 @@ class Pipeline:
                 lambda pdf: merge_run(pdf.drop(columns=["gid"])), centroid_schema
             )
 
-        rows = rows_df.collect()
-        # group centroids per (op, pid), preserving partition order
-        per_op: Dict[int, Dict[int, Tuple[List[float], List[float]]]] = {
-            j: {} for j in range(n_ops)
-        }
-        for r in rows:
-            bucket = per_op[r["op"]].setdefault(r["pid"], ([], []))
-            bucket[0].append(r["mean"])
-            bucket[1].append(r["weight"])
+        # Arrow transfer + numpy grouping (r8): a Row-based collect of
+        # FANIN * 2*compression centroid rows plus a Python row loop was
+        # the slow half of the fit once the sketch pass itself ran
+        # parallel.  Order guarantees are unchanged: toPandas preserves
+        # partition-concatenation order, so rows within one (op, pid)
+        # stay in their emitted mean-ascending order, and np.unique
+        # yields pids sorted (the reference's shard-merge order).
+        pdf_rows = rows_df.toPandas()
+        ops_arr = pdf_rows["op"].to_numpy()
+        pid_arr = pdf_rows["pid"].to_numpy()
+        mean_arr = pdf_rows["mean"].to_numpy()
+        weight_arr = pdf_rows["weight"].to_numpy()
         for j, (_path, op, _col) in enumerate(ops):
+            opm = ops_arr == j
+            pj, mj, wj = pid_arr[opm], mean_arr[opm], weight_arr[opm]
             partials = []
-            for pid in sorted(per_op[j]):
-                means, weights = per_op[j][pid]
+            for pid in np.unique(pj):
+                pm = pj == pid
+                means, weights = mj[pm], wj[pm]
                 d = op._td.new_digest()
                 k = len(means)
                 d.processed_means[:k] = means

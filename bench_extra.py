@@ -35,13 +35,21 @@ def _noop(df):
 
 
 def _cpu():
-    try:
-        with open("/sys/fs/cgroup/cpu.stat") as fh:
-            for line in fh:
-                if line.startswith("usage_usec"):
-                    return int(line.split()[1]) / 1e6
-    except OSError:
-        pass
+    for path, scale in (
+        ("/sys/fs/cgroup/cpuacct/cpuacct.usage", 1e9),  # v1, ns
+        ("/sys/fs/cgroup/cpu.stat", 1e6),  # v2, usage_usec
+    ):
+        try:
+            with open(path) as fh:
+                txt = fh.read()
+            if path.endswith("cpu.stat"):
+                for line in txt.splitlines():
+                    if line.startswith("usage_usec"):
+                        return int(line.split()[1]) / scale
+                continue
+            return int(txt.strip()) / scale
+        except OSError:
+            continue
     return None
 
 

@@ -187,6 +187,25 @@ def test_fused_multi_table_single_exchange(spark, events, feats, feats2):
     assert plan.count("Window") == 1, plan
 
 
+def test_build_honors_explicit_union_strategy(spark, events, feats, feats2):
+    """r8 review: a table added with an EXPLICIT strategy='union' (the
+    user declaring its feature side must not be collected) pins the
+    fused build pass to union — the auto default must not broadcast it."""
+    from torchestra_spark.featurestore import FeatureStore
+
+    store = FeatureStore(entity="user_id", ts="ts")
+    store.add_feature_table(feats, ts="feature_ts", name="f",
+                            value_cols=["fval"], strategy="union")
+    store.add_feature_table(feats2, ts="feature_ts", name="g", value_cols=["gval"])
+    out = store.build(events, fit=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan, plan
+    assert plan.count("Window") >= 1, plan
+    # (the auto path's broadcast selection itself is plan-gated in
+    # test_plan_quality over a stats-bearing source; these cached
+    # MapInPandas fixtures legitimately fail the free stats gate)
+
+
 def test_fused_multi_table_tolerance_and_salting(spark, events, feats, feats2):
     """Per-table tolerance applies independently inside the fused pass,
     and hot-key salting preserves results."""

@@ -212,6 +212,48 @@ def test_asof_broadcast_tolerance(events, feats, events_pd, feats_pd):
     _check_against_oracle(out, events_pd, feats_pd, tolerance=tol)
 
 
+def test_asof_broadcast_null_feature_ts_ignored(spark):
+    """r8 review: a NULL feature ts must be DROPPED by the broadcast
+    kernel (it has no point-in-time meaning), never corrupt the sorted
+    key array and poison unrelated matches."""
+    import pyspark.sql.functions as F
+
+    lt = spark.createDataFrame(
+        [(1, "2024-01-05 00:00:00"), (2, "2024-01-05 00:00:00")],
+        "user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rt = spark.createDataFrame(
+        [(1, "2024-01-02 00:00:00", 10.0), (1, None, 99.0),
+         (2, "2024-01-03 00:00:00", 20.0)],
+        "user_id long, feature_ts string, fval double",
+    ).withColumn("feature_ts", F.to_timestamp("feature_ts"))
+    out = asof_join(lt, rt, on="user_id", left_ts="ts", right_ts="feature_ts",
+                    value_cols=["fval"], strategy="broadcast").toPandas()
+    got = dict(zip(out["user_id"], out["fval"]))
+    assert got == {1: 10.0, 2: 20.0}
+
+
+def test_asof_broadcast_pre_epoch_matched_ts(spark):
+    """r8 review: a matched feature ts BEFORE 1970 is a real match —
+    the unmatched sentinel must not blank it (old sentinel was -1 µs)."""
+    import pyspark.sql.functions as F
+
+    lt = spark.createDataFrame(
+        [(1, "1980-01-01 00:00:00"), (2, "1980-01-01 00:00:00")],
+        "user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rt = spark.createDataFrame(
+        [(1, "1969-12-31 23:59:59", 7.0)],
+        "user_id long, feature_ts string, fval double",
+    ).withColumn("feature_ts", F.to_timestamp("feature_ts"))
+    out = asof_join(lt, rt, on="user_id", left_ts="ts", right_ts="feature_ts",
+                    value_cols=["fval"], strategy="broadcast").toPandas()
+    r1 = out[out["user_id"] == 1].iloc[0]
+    r2 = out[out["user_id"] == 2].iloc[0]
+    assert r1["fval"] == 7.0 and str(r1["matched_feature_ts"]).startswith("1969-12-31")
+    assert pd.isna(r2["fval"]) and pd.isna(r2["matched_feature_ts"])
+
+
 def test_interval_join(spark):
     from torchestra_spark.operators.temporal import interval_join
 

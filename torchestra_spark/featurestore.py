@@ -113,6 +113,15 @@ class FeatureStore:
         ]
         fused = [t for t, u in zip(self._feature_tables, is_union) if u]
         rest = [t for t, u in zip(self._feature_tables, is_union) if not u]
+        # an EXPLICIT strategy='union' on any fused table is a user
+        # declaration that its feature side must not be collected —
+        # honor it by pinning the whole fused pass to union; tables
+        # that left strategy unset ride the library default (auto)
+        fused_strategy = (
+            "union"
+            if any(kw.get("strategy") == "union" for _n, _f, _t, kw in fused)
+            else "auto"
+        )
         if len(fused) >= 2:
             # ONE union + ONE entity-partitioned window pass for all
             # union-strategy tables: k tables would otherwise shuffle
@@ -137,6 +146,7 @@ class FeatureStore:
                      if kw.get("salt_threshold") is not None),
                     default=None,
                 ),
+                strategy=fused_strategy,
             )
         else:
             rest = self._feature_tables

@@ -1007,11 +1007,29 @@ def near_dup_report(
         # materialize eagerly via _pin, exceptions propagate via result()
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            sim_f = pool.submit(_sim_branch)
-            win_f = pool.submit(_win_branch)
-            sim = sim_f.result()
-            win = win_f.result()
+        sim = win = None
+        try:
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                sim_f = pool.submit(_sim_branch)
+                win_f = pool.submit(_win_branch)
+                try:
+                    sim = sim_f.result()
+                finally:
+                    # the with-block always waits for BOTH branches;
+                    # read the second result here so a failure in one
+                    # can still release the survivor's blocks below
+                    try:
+                        win = win_f.result()
+                    except Exception:
+                        if sim_f.exception() is None:
+                            raise
+        except Exception:
+            # one branch failed after the other pinned its pair frame:
+            # free the surviving pins instead of leaking them (review r8)
+            for survivor in (sim, win):
+                if survivor is not None:
+                    release_pinned(survivor)
+            raise
     finally:
         # release the corpus-sized sketch blocks NOW — the pair frames
         # above were materialized eagerly and no longer read them

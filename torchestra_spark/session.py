@@ -13,6 +13,20 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _apply_malloc_tuning() -> None:
+    """Raise the glibc mmap/trim thresholds (and pin PyArrow to the
+    system allocator) for the JVM gateway and its forked Python
+    workers.  Defaults only — pre-existing values are respected and
+    ``SPARK_GRAFT_MALLOC_TUNING=0`` disables entirely."""
+    if os.environ.get("SPARK_GRAFT_MALLOC_TUNING", "1") == "0":
+        return
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1024**3))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1024**3))
+    # route PyArrow buffers through the same tamed glibc heap rather
+    # than the bundled pool's own madvise purging
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+
+
 def get_spark(
     app_name: str = "torchestra_spark",
     master: str | None = None,
@@ -29,6 +43,21 @@ def get_spark(
     # cluster set SPARK_GRAFT_LOCAL_DIR (or spark.local.dir via
     # extra_conf) to the NVMe scratch array instead — tmpfs shuffle
     # space competes with executor memory and is a local-mode choice.
+    # Allocator churn at the Python boundary (guide §4): every numpy /
+    # Arrow temp above glibc's default 128 KB mmap threshold pays an
+    # mmap+munmap per buffer — page faults plus a cgroup memory
+    # charge/uncharge on every batch, in every worker.  Under memcg
+    # accounting that kernel path serializes across cores (profiled on
+    # this sandbox: 32 threads at ~100 % SYSTEM time inside
+    # charge_memcg during Arrow stages; probe suite steady-state
+    # 2.5-2.8 s -> 1.8-2.1 s with the thresholds raised).  Raising the
+    # thresholds makes workers reuse heap arenas instead; the cost is
+    # freed blocks being retained up to each worker's peak — already
+    # the budget spark.python.worker.memory plans for.  Set before the
+    # JVM launches so the gateway and its forked Python workers
+    # inherit; existing values are respected, and
+    # SPARK_GRAFT_MALLOC_TUNING=0 disables.
+    _apply_malloc_tuning()
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir is None and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
         try:
